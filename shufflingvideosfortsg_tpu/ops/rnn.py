@@ -1,0 +1,189 @@
+"""Bidirectional multi-layer LSTM, TPU-idiomatic.
+
+The reference delegates to cuDNN ``nn.LSTM`` (reference: grounding/model/
+networks/RNN.py:26-49). Here the recurrence is a single ``lax.scan`` per
+layer with both directions fused:
+
+- the input projection for *all* timesteps and both directions is one
+  batched matmul ([2, B*T, D] @ [2, D, 4H]) that XLA tiles onto the MXU;
+- the scan carries only (h, c) of shape [2, B, H] and performs one
+  [2, B, H] @ [2, H, 4H] batched matmul per step;
+- the backward direction runs on the time-reversed input inside the same
+  scan, so T steps produce both directions.
+
+Weight layout is cuDNN/torch-compatible (gate order i, f, g, o; per-layer
+``w_ih [D, 4H]``, ``w_hh [H, 4H]``, single fused bias ``b [4H]`` equal to
+torch's ``b_ih + b_hh``), which keeps torch checkpoint conversion a pure
+transpose+add. Initialization matches torch ``nn.LSTM`` (all U(-k, k) with
+k = 1/sqrt(H); the fused bias is the sum of two independent U(-k, k) draws).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def lstm_uniform_init(hidden_size: int, double_draw: bool = False):
+    """torch nn.LSTM init: U(-1/sqrt(H), 1/sqrt(H)). With ``double_draw``
+    the value is the sum of two independent draws (fused b_ih + b_hh)."""
+    k = 1.0 / (hidden_size ** 0.5)
+
+    def init(key, shape, dtype=jnp.float32):
+        if double_draw:
+            k1, k2 = jax.random.split(key)
+            return (jax.random.uniform(k1, shape, dtype, -k, k)
+                    + jax.random.uniform(k2, shape, dtype, -k, k))
+        return jax.random.uniform(key, shape, dtype, -k, k)
+
+    return init
+
+
+def _lstm_scan(xw: jnp.ndarray, w_hh: jnp.ndarray, h0: jnp.ndarray,
+               c0: jnp.ndarray, unroll: int = 8
+               ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
+    """Run the fused two-direction recurrence.
+
+    xw:   [T, 2, B, 4H] precomputed input projections (+bias); direction 1
+          is already time-reversed.
+    w_hh: [2, H, 4H]
+    h0/c0:[2, B, H]
+    Returns (outputs [T, 2, B, H], (h_T, c_T)).
+    """
+    H = h0.shape[-1]
+
+    def step(carry, xw_t):
+        h, c = carry
+        gates = xw_t + jnp.einsum(
+            'dbh,dhg->dbg', h, w_hh,
+            preferred_element_type=jnp.float32).astype(h.dtype)
+        i = jax.nn.sigmoid(gates[..., :H])
+        f = jax.nn.sigmoid(gates[..., H:2 * H])
+        g = jnp.tanh(gates[..., 2 * H:3 * H])
+        o = jax.nn.sigmoid(gates[..., 3 * H:])
+        c = f * c + i * g
+        h = o * jnp.tanh(c)
+        return (h, c), h
+
+    (h_f, c_f), out = jax.lax.scan(step, (h0, c0), xw, unroll=unroll)
+    return out, (h_f, c_f)
+
+
+class BiLSTM(nn.Module):
+    """Bidirectional num_layers-deep LSTM over [B, T, D] inputs.
+
+    Returns (outputs [B, T, 2H], hn [2*L, B, H], cn [2*L, B, H]) with hn/cn
+    in torch layout (layer-major, fwd before bwd), so ``hn[-2], hn[-1]`` are
+    the last layer's final fwd/bwd hidden states — the sentence-embedding
+    convention of the reference encoders (SentenceEncoder.py:30-31).
+
+    Dropout (like torch) applies to each layer's output except the last,
+    only when not deterministic.
+    """
+    hidden_size: int
+    num_layers: int = 1
+    dropout: float = 0.0
+    dtype: Any = jnp.float32
+    unroll: int = 8
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        B, T, _ = x.shape
+        H = self.hidden_size
+        hn_list, cn_list = [], []
+        inputs = x.astype(self.dtype)
+        for layer in range(self.num_layers):
+            D = inputs.shape[-1]
+            w_ih = self.param(f'w_ih_l{layer}', lstm_uniform_init(H), (2, D, 4 * H))
+            w_hh = self.param(f'w_hh_l{layer}', lstm_uniform_init(H), (2, H, 4 * H))
+            b = self.param(f'b_l{layer}', lstm_uniform_init(H, double_draw=True), (2, 4 * H))
+
+            # direction 0: natural order; direction 1: time-reversed input
+            both = jnp.stack([inputs, inputs[:, ::-1]], axis=0)  # [2, B, T, D]
+            xw = jnp.einsum('dbtf,dfg->dbtg', both, w_ih.astype(self.dtype),
+                            preferred_element_type=jnp.float32).astype(self.dtype)
+            xw = xw + b[:, None, None, :].astype(self.dtype)
+            xw = jnp.transpose(xw, (2, 0, 1, 3))  # [T, 2, B, 4H]
+
+            h0 = jnp.zeros((2, B, H), self.dtype)
+            c0 = jnp.zeros((2, B, H), self.dtype)
+            out, (h_f, c_f) = _lstm_scan(xw, w_hh.astype(self.dtype), h0, c0,
+                                         unroll=self.unroll)
+            # out: [T, 2, B, H] -> fwd [B, T, H], bwd un-reversed [B, T, H]
+            fwd = jnp.transpose(out[:, 0], (1, 0, 2))
+            bwd = jnp.transpose(out[:, 1], (1, 0, 2))[:, ::-1]
+            layer_out = jnp.concatenate([fwd, bwd], axis=-1)  # [B, T, 2H]
+
+            hn_list += [h_f[0], h_f[1]]
+            cn_list += [c_f[0], c_f[1]]
+
+            if layer + 1 < self.num_layers and self.dropout > 0.0:
+                layer_out = nn.Dropout(rate=self.dropout)(
+                    layer_out, deterministic=deterministic)
+            inputs = layer_out
+
+        hn = jnp.stack(hn_list, axis=0)
+        cn = jnp.stack(cn_list, axis=0)
+        return inputs, hn, cn
+
+
+class BiGRU(nn.Module):
+    """Bidirectional multi-layer GRU (reference: RNN.py:4-23), same layout
+    conventions as :class:`BiLSTM`. Gate order r, z, n (torch-compatible);
+    torch keeps b_ih and b_hh separate because the candidate gate needs
+    ``r * (h @ W_hn + b_hn)``, so both biases are retained.
+    """
+    hidden_size: int
+    num_layers: int = 1
+    dropout: float = 0.0
+    dtype: Any = jnp.float32
+    unroll: int = 8
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        B, T, _ = x.shape
+        H = self.hidden_size
+        hn_list = []
+        inputs = x.astype(self.dtype)
+        for layer in range(self.num_layers):
+            D = inputs.shape[-1]
+            w_ih = self.param(f'w_ih_l{layer}', lstm_uniform_init(H), (2, D, 3 * H))
+            w_hh = self.param(f'w_hh_l{layer}', lstm_uniform_init(H), (2, H, 3 * H))
+            b_ih = self.param(f'b_ih_l{layer}', lstm_uniform_init(H), (2, 3 * H))
+            b_hh = self.param(f'b_hh_l{layer}', lstm_uniform_init(H), (2, 3 * H))
+
+            both = jnp.stack([inputs, inputs[:, ::-1]], axis=0)
+            xw = jnp.einsum('dbtf,dfg->dbtg', both, w_ih.astype(self.dtype),
+                            preferred_element_type=jnp.float32).astype(self.dtype)
+            xw = xw + b_ih[:, None, None, :].astype(self.dtype)
+            xw = jnp.transpose(xw, (2, 0, 1, 3))
+
+            w_hh_c = w_hh.astype(self.dtype)
+            b_hh_c = b_hh.astype(self.dtype)
+
+            def step(h, xw_t):
+                hw = jnp.einsum('dbh,dhg->dbg', h, w_hh_c,
+                                preferred_element_type=jnp.float32
+                                ).astype(h.dtype) + b_hh_c[:, None, :]
+                r = jax.nn.sigmoid(xw_t[..., :H] + hw[..., :H])
+                z = jax.nn.sigmoid(xw_t[..., H:2 * H] + hw[..., H:2 * H])
+                n = jnp.tanh(xw_t[..., 2 * H:] + r * hw[..., 2 * H:])
+                h = (1 - z) * n + z * h
+                return h, h
+
+            h0 = jnp.zeros((2, B, H), self.dtype)
+            h_f, out = jax.lax.scan(step, h0, xw, unroll=self.unroll)
+            fwd = jnp.transpose(out[:, 0], (1, 0, 2))
+            bwd = jnp.transpose(out[:, 1], (1, 0, 2))[:, ::-1]
+            layer_out = jnp.concatenate([fwd, bwd], axis=-1)
+            hn_list += [h_f[0], h_f[1]]
+            if layer + 1 < self.num_layers and self.dropout > 0.0:
+                layer_out = nn.Dropout(rate=self.dropout)(
+                    layer_out, deterministic=deterministic)
+            inputs = layer_out
+        return inputs, jnp.stack(hn_list, axis=0)

@@ -7,10 +7,16 @@ anywhere, while the real-chip path is exercised by bench.py.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+# The TPU-tunnel sitecustomize imports jax at interpreter start, so env vars
+# alone are too late — force the platform through jax.config before any
+# backend initializes.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,134 @@
+"""GMD: the shuffling-framework grounding model.
+
+Composition mirrors the reference (grounding/model/SpanGroundMatchDisc.py):
+sentence encoder -> shared QAVE over raw & pseudo videos -> CSMM on both ->
+match-prob-gated CMI span prediction on the raw video -> temporal-order
+discriminator on both.
+
+TPU-first batching: the raw and pseudo videos run through the shared video
+encoder / CSMM as a single [2B] batch (one scan, one set of matmuls) rather
+than two sequential calls.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .components import (MomentPoolingTOD, QueryAwareEncoder,
+                         SentenceRNNEncoder, SpanPredictorBoundary,
+                         VideoRNNEncoder, VideoTextSemanticMatch, cmi_apply)
+
+
+class GMD(nn.Module):
+    # sentence encoder
+    sent_hidden: int = 256
+    sent_layers: int = 2
+    # video encoder
+    video_encoder_name: str = 'query_aware_encoder'
+    video_hidden: int = 256
+    video_layers: int = 2
+    nblocks: int = 2
+    # grounding
+    cross_name: str = 'vs'
+    predictor_name: str = 'mlp'
+    mlp_hidden_dim: int = 256
+    span_hidden_dim: int = 128
+    video_if_mask: bool = False
+    # matching
+    m_temp: str = 'none'
+    m_temp_hidden: int = 256
+    m_temp_layers: int = 2
+    m_pred_hidden: int = 1024
+    m_pred_activ: str = 'relu'
+    # regularization / dtype
+    dropout: float = 0.5
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.sentence_encoder = SentenceRNNEncoder(
+            self.sent_hidden, self.sent_layers, self.dropout, dtype=self.dtype)
+        if self.video_encoder_name.lower() in ('query_aware_encoder', 'qae', 'qave'):
+            self.video_encoder = QueryAwareEncoder(
+                self.video_hidden, self.video_layers, self.nblocks,
+                self.dropout, dtype=self.dtype)
+        else:
+            self.video_encoder = VideoRNNEncoder(
+                self.video_hidden, self.video_layers, self.dropout,
+                dtype=self.dtype)
+        self.span_predictor = SpanPredictorBoundary(
+            self.predictor_name, self.mlp_hidden_dim, self.span_hidden_dim,
+            self.dropout, dtype=self.dtype)
+        self.csmm = VideoTextSemanticMatch(
+            self.m_temp, self.m_temp_hidden, self.m_temp_layers,
+            self.m_pred_hidden, self.m_pred_activ, self.dropout,
+            dtype=self.dtype)
+        self.tod = MomentPoolingTOD(self.video_hidden * 2, dtype=self.dtype)
+
+    def __call__(self, query_feat: jnp.ndarray, query_mask: jnp.ndarray,
+                 ori_video_feat: jnp.ndarray, ori_video_mask: jnp.ndarray,
+                 pseudo_video_feat: jnp.ndarray, pseudo_video_mask: jnp.ndarray,
+                 ori_temporal_mask: jnp.ndarray, ori_fore_mask: jnp.ndarray,
+                 ori_back_mask: jnp.ndarray, pseudo_temporal_mask: jnp.ndarray,
+                 pseudo_fore_mask: jnp.ndarray, pseudo_back_mask: jnp.ndarray,
+                 deterministic: bool = True) -> Dict[str, jnp.ndarray]:
+        B = query_feat.shape[0]
+        word_feat, sent_embed = self.sentence_encoder(query_feat, deterministic)
+
+        # Shared encoder over both streams as one [2B] batch.
+        both_video = jnp.concatenate([ori_video_feat, pseudo_video_feat], axis=0)
+        both_words = jnp.concatenate([word_feat, word_feat], axis=0)
+        both_frame_feat = self.video_encoder(both_video, both_words, deterministic)
+        ori_frame_feat = both_frame_feat[:B]
+        pseudo_frame_feat = both_frame_feat[B:]
+
+        ori_cross_feat = cmi_apply(self.cross_name, ori_frame_feat,
+                                   word_feat, sent_embed)
+
+        both_sent = jnp.concatenate([sent_embed, sent_embed], axis=0)
+        both_mask = jnp.concatenate([ori_video_mask, pseudo_video_mask], axis=0)
+        both_match_prob, _ = self.csmm(both_frame_feat, both_sent, both_mask,
+                                       deterministic)
+        ori_match_prob = both_match_prob[:B]
+        pseudo_match_prob = both_match_prob[B:]
+
+        ori_gated_feat = ori_match_prob[:, :, None] * ori_cross_feat
+        start_prob, end_prob = self.span_predictor(
+            ori_gated_feat,
+            v_mask=ori_video_mask if self.video_if_mask else None,
+            deterministic=deterministic)
+
+        both_target = jnp.concatenate([ori_temporal_mask, pseudo_temporal_mask], 0)
+        both_fore = jnp.concatenate([ori_fore_mask, pseudo_fore_mask], 0)
+        both_back = jnp.concatenate([ori_back_mask, pseudo_back_mask], 0)
+        both_disc = self.tod(both_frame_feat, both_target, both_fore, both_back,
+                             deterministic)
+
+        return {
+            'start_prob': start_prob,
+            'end_prob': end_prob,
+            'ori_match_prob': ori_match_prob,
+            'pseudo_match_prob': pseudo_match_prob,
+            'ori_disc_prob': both_disc[:B],
+            'pseudo_disc_prob': both_disc[B:],
+        }
+
+    def eval_forward(self, video_feat: jnp.ndarray, query_feat: jnp.ndarray,
+                     video_mask: Optional[jnp.ndarray] = None,
+                     sent_mask: Optional[jnp.ndarray] = None,
+                     deterministic: bool = True) -> Dict[str, jnp.ndarray]:
+        """Single-video inference path (SpanGroundMatchDisc.py:102-129)."""
+        word_feat, sent_embed = self.sentence_encoder(query_feat, deterministic)
+        frame_feat = self.video_encoder(video_feat, word_feat, deterministic)
+        cross_feat = cmi_apply(self.cross_name, frame_feat, word_feat, sent_embed)
+        match_prob, _ = self.csmm(frame_feat, sent_embed, video_mask,
+                                  deterministic)
+        gated_feat = match_prob[:, :, None] * cross_feat
+        start_prob, end_prob = self.span_predictor(
+            gated_feat,
+            v_mask=video_mask if self.video_if_mask else None,
+            deterministic=deterministic)
+        return {'start_prob': start_prob, 'end_prob': end_prob,
+                'match_prob': match_prob}

@@ -47,3 +47,98 @@ def bilstm_from_torch(sd: Dict[str, np.ndarray], prefix: str,
         params[f"w_hh_l{layer}"] = np.ascontiguousarray(np.stack(w_hh, 0))
         params[f"b_l{layer}"] = np.stack(b, 0)
     return params
+
+
+def _scdm_from_torch(sd: Dict[str, np.ndarray], prefix: str) -> Dict:
+    return {
+        "W_s": linear_from_torch(sd, f"{prefix}.W_s"),
+        "W_a": linear_from_torch(sd, f"{prefix}.W_a"),
+        "w": np.ascontiguousarray(sd[f"{prefix}.w.weight"].T),
+    }
+
+
+def _video_encoder_from_torch(sd: Dict[str, np.ndarray], nblocks: int,
+                              video_layers: int) -> Dict:
+    """QueryAwareEncoder tree from reference keys
+    ``video_encoder.blocks.{i}.*`` + ``video_encoder.norm``."""
+    tree: Dict = {}
+    for i in range(nblocks):
+        p = f"video_encoder.blocks.{i}"
+        tree[f"block{i}"] = {
+            "rnn": bilstm_from_torch(sd, f"{p}.rnn_cell.lstm", video_layers),
+            "attention": _scdm_from_torch(sd, f"{p}.attention"),
+            "sent_linear": linear_from_torch(sd, f"{p}.sent_linear"),
+        }
+    tree["norm"] = layernorm_from_torch(sd, "video_encoder.norm")
+    return tree
+
+
+def _span_predictor_from_torch(sd: Dict[str, np.ndarray],
+                               predictor_name: str) -> Dict:
+    p = "span_predictor.predictor"
+    tree: Dict = {}
+    if predictor_name in ("mlp", "a"):
+        names = ("start_mlp_1", "start_mlp_2", "end_mlp_1", "end_mlp_2")
+    elif predictor_name in ("tied_lstm", "b", "cat_tied_lstm", "b2"):
+        tree["cross_lstm"] = bilstm_from_torch(sd, f"{p}.cross_lstm.lstm", 1)
+        names = ("start_mlp_1", "start_mlp_2", "end_mlp_1", "end_mlp_2")
+    elif predictor_name in ("condi_lstm", "c"):
+        tree["start_lstm"] = bilstm_from_torch(sd, f"{p}.start_lstm.lstm", 1)
+        tree["end_lstm"] = bilstm_from_torch(sd, f"{p}.end_lstm.lstm", 1)
+        names = ("start_fc", "end_fc")
+    elif predictor_name in ("cat_condi_lstm", "c2"):
+        tree["start_lstm"] = bilstm_from_torch(sd, f"{p}.start_lstm.lstm", 1)
+        tree["end_lstm"] = bilstm_from_torch(sd, f"{p}.end_lstm.lstm", 1)
+        names = ("start_mlp_1", "start_mlp_2", "end_mlp_1", "end_mlp_2")
+    else:
+        raise ValueError(f"unsupported predictor for conversion: {predictor_name}")
+    for n in names:
+        tree[n] = linear_from_torch(sd, f"{p}.{n}")
+    return {"predictor": tree}
+
+
+def convert_reference_state_dict(sd: Dict[str, np.ndarray],
+                                 kind: str = "gmd",
+                                 sent_layers: int = 2,
+                                 video_layers: int = 2,
+                                 nblocks: int = 2,
+                                 predictor_name: str = "mlp",
+                                 m_temp: str = "none") -> Dict:
+    """Map a reference ``model.state_dict()`` (numpy-valued) onto this
+    framework's parameter pytree for GMD or Baseline."""
+    params: Dict = {
+        "sentence_encoder": {
+            "word_embed": linear_from_torch(sd, "sentence_encoder.word_embed"),
+            "rnn": bilstm_from_torch(sd, "sentence_encoder.rnn_cell.lstm",
+                                     sent_layers),
+        },
+        "video_encoder": _video_encoder_from_torch(sd, nblocks, video_layers),
+        "span_predictor": _span_predictor_from_torch(sd, predictor_name),
+    }
+    if kind.lower() in ("gmd", "qave_match"):
+        csmm: Dict = {
+            "predict_1": linear_from_torch(sd, "csmm.predict.predict.0"),
+            "predict_2": linear_from_torch(sd, "csmm.predict.predict.2"),
+        }
+        if m_temp.lower() == "lstm":
+            csmm["temporal"] = bilstm_from_torch(sd, "csmm.temporal.lstm.lstm", 2)
+        params["csmm"] = csmm
+        params["tod"] = {
+            "foreback": linear_from_torch(sd, "tod.foreback_context.0"),
+            "classifier": linear_from_torch(sd, "tod.fc_classifier_domain_video.0"),
+        }
+    return params
+
+
+def load_reference_ckp(path: str, **kwargs) -> Dict:
+    """Read a reference ``.ckp`` (raw torch state_dict) into a param pytree.
+
+    Requires torch (CPU) at call time only.
+    """
+    import torch
+
+    obj = torch.load(path, map_location="cpu")
+    if isinstance(obj, dict) and "state_dict" in obj:
+        obj = obj["state_dict"]
+    sd = {k: v.detach().cpu().numpy() for k, v in obj.items()}
+    return convert_reference_state_dict(sd, **kwargs)

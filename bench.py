@@ -1,0 +1,89 @@
+#!/usr/bin/env python3
+"""Benchmark: Charades-CD eval-configuration throughput on one TPU chip.
+
+Measures query-sentences/second through the flagship GMD eval path
+(QAVE encoder -> CSMM gate -> span head -> on-device span decode) at the
+reference eval configuration (T=128, D=1024, N=15), reporting against the
+reference GPU figure of 676 sent/s (BASELINE.md: 3375 sentences / 4.99 s,
+grounding/ckp/charades_cd/test.log).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_SENT_PER_S = 676.0  # reference eval throughput, 1 GPU
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--batch', type=int, default=512)
+    ap.add_argument('--iters', type=int, default=30)
+    ap.add_argument('--warmup', type=int, default=5)
+    ap.add_argument('--precision', default='bf16', choices=['f32', 'bf16'])
+    ap.add_argument('--total-sentences', type=int, default=3375,
+                    help='simulate the full Charades-CD ood eval size')
+    args = ap.parse_args()
+
+    from shufflingvideosfortsg_tpu.config import load_config
+    from shufflingvideosfortsg_tpu.models import build_model
+    from shufflingvideosfortsg_tpu.ops.span import span_decode
+
+    params = load_config(None, overrides={
+        'video_len': 128, 'sent_len': 15, 'video_feature_dim': 1024,
+        'precision': args.precision})
+    model = build_model(params, 'gmd')
+
+    B, T, N, Dv = args.batch, 128, 15, 1024
+    rng = np.random.RandomState(0)
+    video = jnp.asarray(rng.randn(B, T, Dv), jnp.float32)
+    sent = jnp.asarray(rng.randn(B, N, 300), jnp.float32)
+    vmask = jnp.ones((B, T), jnp.int32)
+    smask = jnp.ones((B, N), jnp.int32)
+
+    mt = jnp.ones((2, T), jnp.int32)
+    mn = jnp.ones((2, N), jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((2, N, 300)), mn,
+                           jnp.zeros((2, T, Dv)), mt, jnp.zeros((2, T, Dv)),
+                           mt, mt, mt, mt, mt, mt, mt)
+    model_params = variables['params']
+
+    @jax.jit
+    def eval_step(p, video_feat, sent_feat, video_mask, sent_mask):
+        out = model.apply({'params': p}, video_feat, sent_feat, video_mask,
+                          sent_mask, method=model.eval_forward)
+        return span_decode(out['start_prob'], out['end_prob'])
+
+    # compile + warmup (sync via host fetch: through the remote-TPU relay,
+    # block_until_ready returns at enqueue time, so np.asarray is the only
+    # honest barrier)
+    for _ in range(args.warmup + 1):
+        pred, score = eval_step(model_params, video, sent, vmask, smask)
+    np.asarray(score)
+
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        pred, score = eval_step(model_params, video, sent, vmask, smask)
+    np.asarray(score)  # device is serial: last result implies all done
+    dt = time.perf_counter() - t0
+
+    sent_per_s = args.iters * B / dt
+    print(json.dumps({
+        'metric': 'charades_cd_eval_sentences_per_sec_per_chip',
+        'value': round(sent_per_s, 1),
+        'unit': 'sentences/s',
+        'vs_baseline': round(sent_per_s / BASELINE_SENT_PER_S, 2),
+    }))
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,424 @@
+"""Driver logic for the four CLI entry points.
+
+CLI surface parity with the reference (grounding/train.py:415-575 etc.):
+same flags, same YAML merge, same run-dir/params.json/submit/checkpoint
+naming, same printed statistics. ``--gpu_id`` is accepted and ignored
+(device selection is JAX's job on TPU).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+# Optional platform override for local smokes (SVTSG_PLATFORM=cpu ...);
+# must land before any JAX backend initializes. Plain env vars are too late
+# here because the TPU-tunnel sitecustomize imports jax at interpreter start.
+if os.environ.get('SVTSG_PLATFORM'):
+    jax.config.update('jax_platforms', os.environ['SVTSG_PLATFORM'])
+
+from .config import DEFAULTS, load_config
+from .data.pipeline import BatchLoader, SentenceGroundingDataset
+from .eval.iou import retrieval_eval
+from .models import build_model
+from .parallel.mesh import create_mesh, replicate_tree, shard_batch
+from .train.state import create_train_state, make_optimizer
+from .train.steps import (make_baseline_eval_step, make_baseline_train_step,
+                          make_gmd_test_step, make_gmd_train_step,
+                          make_gmd_valid_step)
+from .utils.saver import RunManager, load_checkpoint
+
+
+# ---------------------------------------------------------------------------
+# argparse surface
+# ---------------------------------------------------------------------------
+
+def build_argparser(default_model: str = 'QAVE_match') -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser()
+    for key, value in DEFAULTS.items():
+        flag = '--' + key
+        if key == 'model':
+            p.add_argument(flag, type=str, default=default_model)
+        elif isinstance(value, bool):
+            p.add_argument(flag, action='store_true', default=value)
+        elif isinstance(value, list):
+            p.add_argument(flag, type=int, nargs='+', default=value)
+        elif isinstance(value, int):
+            p.add_argument(flag, type=int, default=value)
+        elif isinstance(value, float):
+            p.add_argument(flag, type=float, default=value)
+        else:
+            p.add_argument(flag, type=str, default=value)
+    return p
+
+
+def parse_params(argv=None, default_model: str = 'QAVE_match') -> Dict[str, Any]:
+    parser = build_argparser(default_model)
+    args = vars(parser.parse_args(argv))
+    cfg = args.pop('cfg', None)
+    params = load_config(cfg, overrides=None)
+    # explicit CLI flags must win over YAML; reference semantics are the
+    # opposite (YAML wins), so only apply non-default CLI values.
+    for k, v in args.items():
+        if k in DEFAULTS and v != DEFAULTS[k] and k != 'model':
+            params[k] = v
+    params['model'] = args.get('model', default_model)
+    params['cfg'] = cfg
+    return params
+
+
+def setup_logger(alias: str) -> logging.Logger:
+    logging.basicConfig()
+    logger = logging.getLogger(alias)
+    logger.setLevel(logging.INFO)
+    return logger
+
+
+# ---------------------------------------------------------------------------
+# shared pieces
+# ---------------------------------------------------------------------------
+
+def _dataset_kind(name: str) -> str:
+    if name in ('charades', 'charades_cd'):
+        return 'charades'
+    if name in ('anet', 'anet_cd'):
+        return 'anet'
+    raise AssertionError('Error datasetname' + name)
+
+
+def make_dataset(params, anno_key: str, feat_key: str, kind_key: str):
+    kind = _dataset_kind(params[kind_key])
+    ds = SentenceGroundingDataset(params[anno_key], params[feat_key],
+                                  params, dataset_name=kind)
+    if params.get('debug'):
+        ds.samples = ds.samples[:4 * params['batch_size'][0]]
+    return ds
+
+
+def init_model_params(model, params, key, kind: str):
+    B = 2
+    T, N = params['video_len'], params['sent_len']
+    Dv = params['video_feature_dim']
+    video = np.zeros((B, T, Dv), np.float32)
+    sent = np.zeros((B, N, 300), np.float32)
+    m_t = np.ones((B, T), np.int32)
+    m_n = np.ones((B, N), np.int32)
+    if kind == 'gmd':
+        variables = model.init(key, sent, m_n, video, m_t, video, m_t,
+                               m_t, m_t, m_t, m_t, m_t, m_t)
+    else:
+        variables = model.init(key, video, sent, m_t, m_n)
+    return variables['params']
+
+
+def _collect_predictions(pred_dict, batch, pred_time, score):
+    n = batch['n_valid']
+    ts = np.asarray(batch['timestps'])
+    dur = np.asarray(batch['duration'])
+    for i in range(n):
+        vid = batch['vid'][i]
+        pred_dict['results'].setdefault(vid, []).append({
+            'sentence': batch['sentence'][i],
+            'timestamp': pred_time[i].tolist(),
+            'gt_timestamp': ts[i].tolist(),
+            'score': float(score[i]),
+            'video_duration': float(dur[i]),
+        })
+
+
+def _new_pred_dict(params):
+    return {'version': 'V0', 'results': {},
+            'external_data': {'used': True, 'details': 'provided i3D feature'},
+            'params': params}
+
+
+def _avg(metrics_list, key):
+    return float(np.mean([float(m[key]) for m in metrics_list]))
+
+
+# ---------------------------------------------------------------------------
+# GMD training driver (train.py)
+# ---------------------------------------------------------------------------
+
+def main_train(params: Dict[str, Any]) -> Dict[str, Any]:
+    logger = setup_logger(params['alias'])
+    saver = RunManager(params)
+    mesh = create_mesh(params.get('mesh_shape'))
+    lg = str(params['vfeat_fn']).lower() == 'lg'
+
+    model = build_model(params, 'gmd')
+    train_set = make_dataset(params, 'train_data', 'train_featpath', 'train')
+    valid_set = make_dataset(params, 'val_data', 'valid_featpath', 'valid')
+    train_loader = BatchLoader(train_set, params['batch_size'][0],
+                               shuffle=True, seed=params.get('seed', 123))
+    valid_loader = BatchLoader(valid_set, params['batch_size'][2],
+                               shuffle=False)
+
+    key = jax.random.PRNGKey(params.get('seed', 123))
+    key, init_key = jax.random.split(key)
+    model_params = init_model_params(model, params, init_key, 'gmd')
+    tx = make_optimizer(params, steps_per_epoch=len(train_loader))
+    state = create_train_state(model_params, tx)
+    state = replicate_tree(mesh, state)
+
+    train_step = make_gmd_train_step(model, params, lg)
+    valid_step = make_gmd_valid_step(model, params, lg)
+
+    statistics = {'loss': {}, 'mIoU': {}}
+    for step_epoch in range(params['epoch']):
+        t0 = time.time()
+        epoch_metrics = []
+        for idx, batch in enumerate(train_loader):
+            t_b = time.time()
+            key, sk = jax.random.split(key)
+            sb = shard_batch(mesh, batch)
+            state, metrics = train_step(state, sb, sk)
+            epoch_metrics.append(metrics)
+            if params['batch_log_interval'] != -1 and \
+                    idx % params['batch_log_interval'] == 0:
+                m = jax.device_get(metrics)
+                logger.info(
+                    'train: epoch[%03d], batch[%04d/%04d], elapsed time=%0.2fs, '
+                    'loss: %03.3f, miou: %03.3f, loss_g: %03.3f, '
+                    'loss_intra: %03.3f, loss_inter: %03.3f, loss_d: %03.3f',
+                    step_epoch, idx, len(train_loader), time.time() - t_b,
+                    m['loss'], m['miou'], m['loss_g'], m['loss_intra'],
+                    m['loss_inter'], m['loss_d'])
+        epoch_metrics = jax.device_get(epoch_metrics)
+        avg_loss = _avg(epoch_metrics, 'loss')
+        logger.info('epoch [%03d]: elapsed time:%0.2fs, avg loss: %03.3f, '
+                    'miou: %03.3f', step_epoch, time.time() - t0, avg_loss,
+                    _avg(epoch_metrics, 'miou'))
+
+        if (step_epoch + 1) % params['test_interval'] == 0 or step_epoch == 0:
+            statistics['loss'][step_epoch] = round(avg_loss, 3)
+        if (step_epoch + 1) % params['test_interval'] == 0:
+            miou = run_valid(valid_step, state, valid_loader, valid_set,
+                             params, logger, step_epoch, saver, mesh, key)
+            statistics['mIoU'][step_epoch] = round(miou * 100, 2)
+        if (step_epoch + 1) % params['save_model_interval'] == 0 \
+                or (step_epoch + 1) == params['epoch']:
+            path = saver.save_checkpoint(step_epoch, state, key)
+            logger.info('Save model in %s', path)
+
+    _print_statistics(statistics)
+    return statistics
+
+
+def run_valid(valid_step, state, loader, dataset, params, logger, epoch,
+              saver: Optional[RunManager], mesh, key) -> float:
+    pred_dict = _new_pred_dict(params)
+    t0 = time.time()
+    all_metrics = []
+    for idx, batch in enumerate(loader):
+        key, sk = jax.random.split(key)
+        sb = shard_batch(mesh, batch)
+        out = jax.device_get(valid_step(state.params, sb, sk))
+        all_metrics.append({k: out[k] for k in
+                            ('loss', 'loss_g', 'loss_intra', 'loss_inter',
+                             'miou')})
+        # frame->seconds conversion already happened in-step (_stats)
+        _collect_predictions(pred_dict, batch, out['pred_time'], out['score'])
+    if saver is not None:
+        saver.save_submits(pred_dict, epoch)
+    miou = _avg(all_metrics, 'miou')
+    logger.info('epoch [%03d]: elapsed time:%0.4fs, avg loss: %03.3f, '
+                'miou: %03.3f avg loss_g: %03.3f, avg loss_m1: %03.3f, '
+                'avg loss_m2: %03.3f', epoch, time.time() - t0,
+                _avg(all_metrics, 'loss'), miou, _avg(all_metrics, 'loss_g'),
+                _avg(all_metrics, 'loss_intra'), _avg(all_metrics, 'loss_inter'))
+    return miou
+
+
+def _print_statistics(statistics):
+    for title in ('loss', 'mIoU'):
+        print(title, ':')
+        print('\t'.join(str(k) for k in statistics[title].keys()))
+        print('\t'.join(str(v) for v in statistics[title].values()))
+        if title == 'mIoU' and statistics[title]:
+            keys = list(statistics[title].keys())
+            vals = list(statistics[title].values())
+            print('Max mIoU:', max(vals), '\tEpoch', keys[vals.index(max(vals))])
+
+
+# ---------------------------------------------------------------------------
+# GMD test driver (test.py)
+# ---------------------------------------------------------------------------
+
+def main_test(params: Dict[str, Any]) -> str:
+    logger = setup_logger(params['alias'])
+    saver = RunManager(params)
+    mesh = create_mesh(params.get('mesh_shape'))
+    lg = str(params['vfeat_fn']).lower() == 'lg'
+
+    model = build_model(params, 'gmd')
+    test_set = make_dataset(params, 'test_data', 'test_featpath', 'test')
+    test_loader = BatchLoader(test_set, params['batch_size'][0], shuffle=False)
+
+    key = jax.random.PRNGKey(params.get('seed', 123))
+    model_params = init_model_params(model, params, key, 'gmd')
+    if params.get('start_from'):
+        payload, is_ref = load_checkpoint(
+            params['start_from'],
+            torch_convert_kwargs=dict(kind='gmd',
+                                      predictor_name=params['predictor'],
+                                      m_temp=params['m_temp']))
+        model_params = payload['params']
+        logger.warning('use checkpoint: %s (reference-format=%s)',
+                       params['start_from'], is_ref)
+    model_params = replicate_tree(mesh, model_params)
+
+    test_step = make_gmd_test_step(model, lg)
+    pred_dict = _new_pred_dict(params)
+    t0 = time.time()
+    losses, mious = [], []
+    for idx, batch in enumerate(test_loader):
+        t_b = time.time()
+        sb = shard_batch(mesh, batch)
+        out = jax.device_get(test_step(model_params, sb))
+        losses.append(float(out['loss']))
+        mious.append(float(out['miou']))
+        if params['batch_log_interval'] != -1 and \
+                idx % params['batch_log_interval'] == 0:
+            logger.info('test: epoch[%03d], batch[%04d/%04d], elapsed '
+                        'time=%0.2fs, loss: %03.3f, miou: %03.3f', 0, idx,
+                        len(test_loader), time.time() - t_b, out['loss'],
+                        out['miou'])
+        _collect_predictions(pred_dict, batch, out['pred_time'], out['score'])
+    submit = saver.save_submits(pred_dict, 0, 'test_data')
+    logger.info('epoch [%03d]: elapsed time:%0.4fs, avg loss: %03.3f, '
+                'miou: %03.3f', 0, time.time() - t0,
+                float(np.mean(losses)), float(np.mean(mious)))
+    retrieval_eval(submit)
+    return submit
+
+
+# ---------------------------------------------------------------------------
+# Baseline drivers (train_baseline.py / test_baseline.py)
+# ---------------------------------------------------------------------------
+
+def main_train_baseline(params: Dict[str, Any]) -> Dict[str, Any]:
+    logger = setup_logger(params['alias'])
+    saver = RunManager(params)
+    mesh = create_mesh(params.get('mesh_shape'))
+    lg = str(params['vfeat_fn']).lower() == 'lg'
+
+    model = build_model(params, 'baseline')
+    train_set = make_dataset(params, 'train_data', 'train_featpath', 'train')
+    valid_set = make_dataset(params, 'val_data', 'valid_featpath', 'valid')
+    train_loader = BatchLoader(train_set, params['batch_size'][0],
+                               shuffle=True, seed=params.get('seed', 123))
+    valid_loader = BatchLoader(valid_set, params['batch_size'][2],
+                               shuffle=False)
+
+    key = jax.random.PRNGKey(params.get('seed', 123))
+    key, init_key = jax.random.split(key)
+    model_params = init_model_params(model, params, init_key, 'baseline')
+    tx = make_optimizer(params, steps_per_epoch=len(train_loader))
+    state = create_train_state(model_params, tx)
+    state = replicate_tree(mesh, state)
+
+    train_step = make_baseline_train_step(model, params, lg)
+    eval_step = make_baseline_eval_step(model, lg)
+
+    statistics = {'loss': {}, 'mIoU': {}}
+    for step_epoch in range(params['epoch']):
+        t0 = time.time()
+        epoch_metrics = []
+        for idx, batch in enumerate(train_loader):
+            t_b = time.time()
+            key, sk = jax.random.split(key)
+            sb = shard_batch(mesh, batch)
+            state, metrics = train_step(state, sb, sk)
+            epoch_metrics.append(metrics)
+            if params['batch_log_interval'] != -1 and \
+                    idx % params['batch_log_interval'] == 0:
+                m = jax.device_get(metrics)
+                logger.info('train: epoch[%03d], batch[%04d/%04d], elapsed '
+                            'time=%0.2fs, loss: %03.3f, miou: %03.3f',
+                            step_epoch, idx, len(train_loader),
+                            time.time() - t_b, m['loss'], m['miou'])
+        epoch_metrics = jax.device_get(epoch_metrics)
+        avg_loss = _avg(epoch_metrics, 'loss')
+        logger.info('epoch [%03d]: elapsed time:%0.2fs, avg loss: %03.3f, '
+                    'miou: %03.3f', step_epoch, time.time() - t0, avg_loss,
+                    _avg(epoch_metrics, 'miou'))
+        if (step_epoch + 1) % params['test_interval'] == 0 or step_epoch == 0:
+            statistics['loss'][step_epoch] = round(avg_loss, 3)
+        if (step_epoch + 1) % params['test_interval'] == 0:
+            miou = run_eval_collect(eval_step, state.params, valid_loader,
+                                    params, logger, step_epoch, saver, mesh,
+                                    'val_data')
+            statistics['mIoU'][step_epoch] = round(miou * 100, 2)
+        if (step_epoch + 1) % params['save_model_interval'] == 0 \
+                or (step_epoch + 1) == params['epoch']:
+            path = saver.save_checkpoint(step_epoch, state, key)
+            logger.info('Save model in %s', path)
+    _print_statistics(statistics)
+    return statistics
+
+
+def run_eval_collect(eval_step, model_params, loader, params, logger, epoch,
+                     saver, mesh, submit_key) -> float:
+    pred_dict = _new_pred_dict(params)
+    t0 = time.time()
+    losses, mious = [], []
+    for batch in loader:
+        sb = shard_batch(mesh, batch)
+        out = jax.device_get(eval_step(model_params, sb))
+        losses.append(float(out['loss']))
+        mious.append(float(out['miou']))
+        _collect_predictions(pred_dict, batch, out['pred_time'], out['score'])
+    if saver is not None:
+        saver.save_submits(pred_dict, epoch, submit_key)
+    miou = float(np.mean(mious))
+    logger.info('epoch [%03d]: elapsed time:%0.4fs, avg loss: %03.3f, '
+                'miou: %03.3f', epoch, time.time() - t0,
+                float(np.mean(losses)), miou)
+    return miou
+
+
+def main_test_baseline(params: Dict[str, Any]) -> str:
+    logger = setup_logger(params['alias'])
+    saver = RunManager(params)
+    mesh = create_mesh(params.get('mesh_shape'))
+    lg = str(params['vfeat_fn']).lower() == 'lg'
+
+    model = build_model(params, 'baseline')
+    test_set = make_dataset(params, 'test_data', 'test_featpath', 'test')
+    test_loader = BatchLoader(test_set, params['batch_size'][0], shuffle=False)
+
+    key = jax.random.PRNGKey(params.get('seed', 123))
+    model_params = init_model_params(model, params, key, 'baseline')
+    if params.get('start_from'):
+        payload, is_ref = load_checkpoint(
+            params['start_from'],
+            torch_convert_kwargs=dict(kind='baseline',
+                                      predictor_name=params['predictor']))
+        model_params = payload['params']
+        logger.warning('use checkpoint: %s (reference-format=%s)',
+                       params['start_from'], is_ref)
+    model_params = replicate_tree(mesh, model_params)
+
+    eval_step = make_baseline_eval_step(model, lg)
+    pred_dict = _new_pred_dict(params)
+    t0 = time.time()
+    losses, mious = [], []
+    for idx, batch in enumerate(test_loader):
+        sb = shard_batch(mesh, batch)
+        out = jax.device_get(eval_step(model_params, sb))
+        losses.append(float(out['loss']))
+        mious.append(float(out['miou']))
+        _collect_predictions(pred_dict, batch, out['pred_time'], out['score'])
+    submit = saver.save_submits(pred_dict, 0, 'test_data')
+    logger.info('epoch [%03d]: elapsed time:%0.4fs, avg loss: %03.3f, '
+                'miou: %03.3f', 0, time.time() - t0,
+                float(np.mean(losses)), float(np.mean(mious)))
+    retrieval_eval(submit)
+    return submit

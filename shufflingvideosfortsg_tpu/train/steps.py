@@ -1,0 +1,204 @@
+"""Pure jitted train/valid/test steps for GMD and the QAVE baseline.
+
+One ``train_step(state, batch, key)`` per model, assembling the reference's
+loss (grounding/train.py:140-165): grounding NLL + λ1·(intra-video BCE on
+raw+pseudo) + λ2·(inter-video span KL) + λ3·(order-discrimination CE).
+Pseudo videos are generated on device by default (gt_translate as a gather,
+ops/augment_device.py) so only the raw batch crosses host->device.
+
+Span decoding + mean IoU run on device in the same step — the reference's
+per-batch `.cpu()` sync for statistics (train.py:175-184) has no analog.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.augment_device import gt_translate_batch
+from ..ops.losses import (bce_loss, masked_softmax, matching_kl_divergence,
+                          span_ground_loss, temporal_order_discrimination_loss)
+from ..ops.span import compute_mean_iou, span_decode
+from .state import TrainState
+
+
+def _stats(start_prob, end_prob, batch, lg_frame2sec: bool):
+    pred, score = span_decode(start_prob, end_prob)
+    pred_f = pred.astype(jnp.float32)
+    if lg_frame2sec:
+        pred_f = pred_f / batch['nfeats'][:, None].astype(jnp.float32) \
+            * batch['duration'][:, None].astype(jnp.float32)
+    miou = compute_mean_iou(pred_f, batch['timestps'])
+    return pred_f, score, miou
+
+
+def make_gmd_train_step(model, params: Dict[str, Any],
+                        lg_frame2sec: bool = False):
+    m1 = float(params['loss_m1_lambda'])
+    m2 = float(params['loss_m2_lambda'])
+    md = float(params['loss_disc_lambda'])
+    on_device_aug = bool(params.get('on_device_aug', True))
+
+    def loss_fn(p, batch, pseudo, dropout_key):
+        out = model.apply(
+            {'params': p},
+            batch['sent_feat'], batch['sent_mask'],
+            batch['video_feat'], batch['video_mask'],
+            pseudo['video_feat'], pseudo['video_mask'],
+            batch['temporal_labels'], batch['fore_masks'], batch['back_masks'],
+            pseudo['temporal_labels'], pseudo['fore_masks'], pseudo['back_masks'],
+            deterministic=False, rngs={'dropout': dropout_key})
+        loss_g = span_ground_loss(out['start_prob'], out['end_prob'],
+                                  batch['framestps'])
+        loss_intra = m1 * (
+            bce_loss(out['ori_match_prob'], batch['temporal_labels'],
+                     batch['video_mask'])
+            + bce_loss(out['pseudo_match_prob'], pseudo['temporal_labels'],
+                       pseudo['video_mask']))
+        ori_sm = masked_softmax(out['ori_match_prob'], batch['temporal_labels'])
+        pse_sm = masked_softmax(out['pseudo_match_prob'],
+                                pseudo['temporal_labels'])
+        loss_inter = m2 * matching_kl_divergence(
+            ori_sm, pse_sm, batch['framestps'], pseudo['framestps'])
+        loss_disc = temporal_order_discrimination_loss(
+            out['ori_disc_prob'], out['pseudo_disc_prob'])
+        loss = loss_g + loss_intra + loss_inter + md * loss_disc
+        aux = {'loss': loss, 'loss_g': loss_g, 'loss_intra': loss_intra,
+               'loss_inter': loss_inter, 'loss_d': loss_disc,
+               'start_prob': out['start_prob'], 'end_prob': out['end_prob']}
+        return loss, aux
+
+    @jax.jit
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
+                   key: jax.Array) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        aug_key, dropout_key = jax.random.split(key)
+        if on_device_aug:
+            pseudo_feat, pseudo_framestps, pmasks = gt_translate_batch(
+                aug_key, batch['video_feat'], batch['framestps'],
+                batch['nfeats'])
+            pseudo = {'video_feat': pseudo_feat,
+                      'framestps': pseudo_framestps,
+                      'video_mask': pmasks['video_mask'],
+                      'temporal_labels': pmasks['temporal_labels'],
+                      'fore_masks': pmasks['fore_masks'],
+                      'back_masks': pmasks['back_masks']}
+        else:
+            pseudo = {'video_feat': batch['pseudo_video_feat'],
+                      'framestps': batch['pseudo_framestps'],
+                      'video_mask': batch['pseudo_video_mask'],
+                      'temporal_labels': batch['pseudo_temporal_labels'],
+                      'fore_masks': batch['pseudo_fore_masks'],
+                      'back_masks': batch['pseudo_back_masks']}
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, aux), grads = grad_fn(state.params, batch, pseudo, dropout_key)
+        state = state.apply_gradients(grads)
+        _, _, miou = _stats(aux.pop('start_prob'), aux.pop('end_prob'),
+                            batch, lg_frame2sec)
+        aux['miou'] = miou
+        return state, aux
+
+    return train_step
+
+
+def make_gmd_valid_step(model, params: Dict[str, Any],
+                        lg_frame2sec: bool = False):
+    """The reference's valid(): full pair forward without dropout, losses
+    minus the discriminator term, plus decoded spans for the submit file
+    (train.py:209-318)."""
+    m1 = float(params['loss_m1_lambda'])
+    m2 = float(params['loss_m2_lambda'])
+
+    @jax.jit
+    def valid_step(p, batch, key):
+        pseudo_feat, pseudo_framestps, pmasks = gt_translate_batch(
+            key, batch['video_feat'], batch['framestps'], batch['nfeats'])
+        out = model.apply(
+            {'params': p},
+            batch['sent_feat'], batch['sent_mask'],
+            batch['video_feat'], batch['video_mask'],
+            pseudo_feat, pmasks['video_mask'],
+            batch['temporal_labels'], batch['fore_masks'], batch['back_masks'],
+            pmasks['temporal_labels'], pmasks['fore_masks'], pmasks['back_masks'])
+        loss_g = span_ground_loss(out['start_prob'], out['end_prob'],
+                                  batch['framestps'])
+        loss_intra = m1 * (
+            bce_loss(out['ori_match_prob'], batch['temporal_labels'],
+                     batch['video_mask'])
+            + bce_loss(out['pseudo_match_prob'], pmasks['temporal_labels'],
+                       pmasks['video_mask']))
+        ori_sm = masked_softmax(out['ori_match_prob'], batch['temporal_labels'])
+        pse_sm = masked_softmax(out['pseudo_match_prob'],
+                                pmasks['temporal_labels'])
+        loss_inter = m2 * matching_kl_divergence(
+            ori_sm, pse_sm, batch['framestps'], pseudo_framestps)
+        loss = loss_g + loss_intra + loss_inter
+        pred_f, score, miou = _stats(out['start_prob'], out['end_prob'],
+                                     batch, lg_frame2sec)
+        return {'loss': loss, 'loss_g': loss_g, 'loss_intra': loss_intra,
+                'loss_inter': loss_inter, 'miou': miou,
+                'pred_time': pred_f, 'score': score}
+
+    return valid_step
+
+
+def make_gmd_test_step(model, lg_frame2sec: bool = False):
+    """Single-video inference (test.py:104-124): eval_forward + decode."""
+
+    @jax.jit
+    def test_step(p, batch):
+        out = model.apply({'params': p}, batch['video_feat'],
+                          batch['sent_feat'], batch['video_mask'],
+                          batch['sent_mask'], method=model.eval_forward)
+        loss_g = span_ground_loss(out['start_prob'], out['end_prob'],
+                                  batch['framestps'])
+        pred_f, score, miou = _stats(out['start_prob'], out['end_prob'],
+                                     batch, lg_frame2sec)
+        return {'loss': loss_g, 'miou': miou, 'pred_time': pred_f,
+                'score': score}
+
+    return test_step
+
+
+# ---------------------------------------------------------------------------
+# Baseline (QAVE): grounding loss only
+# ---------------------------------------------------------------------------
+
+def make_baseline_train_step(model, params: Dict[str, Any],
+                             lg_frame2sec: bool = False):
+    @jax.jit
+    def train_step(state: TrainState, batch, key):
+        def loss_fn(p):
+            out = model.apply({'params': p}, batch['video_feat'],
+                              batch['sent_feat'], batch['video_mask'],
+                              batch['sent_mask'], deterministic=False,
+                              rngs={'dropout': key})
+            loss_g = span_ground_loss(out['start_prob'], out['end_prob'],
+                                      batch['framestps'])
+            return loss_g, out
+        (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        state = state.apply_gradients(grads)
+        _, _, miou = _stats(out['start_prob'], out['end_prob'], batch,
+                            lg_frame2sec)
+        return state, {'loss': loss, 'miou': miou}
+
+    return train_step
+
+
+def make_baseline_eval_step(model, lg_frame2sec: bool = False):
+    @jax.jit
+    def eval_step(p, batch):
+        out = model.apply({'params': p}, batch['video_feat'],
+                          batch['sent_feat'], batch['video_mask'],
+                          batch['sent_mask'])
+        loss_g = span_ground_loss(out['start_prob'], out['end_prob'],
+                                  batch['framestps'])
+        pred_f, score, miou = _stats(out['start_prob'], out['end_prob'],
+                                     batch, lg_frame2sec)
+        return {'loss': loss_g, 'miou': miou, 'pred_time': pred_f,
+                'score': score}
+
+    return eval_step

@@ -1,0 +1,137 @@
+"""Run management: run directories, params.json, checkpoints, submit files.
+
+Mirrors the reference ModelSaver's observable behavior (grounding/util/
+model_saver.py): ``<runs>/<alias>/{model,submits}`` layout, params.json,
+refusal to reuse an alias unless it starts with 'test'/'inference' (then the
+old run directory is removed), checkpoint names ``<alias>_<step:05d>.ckp``
+and submit names ``<alias>_<step:05d>_<split>.json``.
+
+Checkpoints are richer than the reference's raw state_dict: a msgpack
+(flax.serialization) payload holding {params, opt_state, step, rng_key},
+so resume restores optimizer state too (the reference never saved it —
+SURVEY.md §5). ``load_checkpoint`` also accepts reference torch ``.ckp``
+files, converting through utils/torch_interop.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+MAGIC = b'SVTSG1\n'
+
+
+class RunManager:
+    def __init__(self, params: Dict[str, Any]):
+        self.params = params
+        self.root_folder = os.path.join(params['runs'], params['alias'])
+        self.model_folder = os.path.join(self.root_folder, 'model')
+        self.submits_folder = os.path.join(self.root_folder, 'submits')
+        self._init_dirs()
+        with open(os.path.join(self.root_folder, 'params.json'), 'w') as f:
+            json.dump(_jsonable(params), f)
+
+    def _init_dirs(self):
+        if os.path.exists(self.root_folder):
+            alias = self.params['alias']
+            if alias.startswith('test') or alias.startswith('inference'):
+                shutil.rmtree(self.root_folder)
+                print(f'warning: remove test({self.root_folder}) folder')
+            else:
+                print('error: alias already in use, abort')
+                sys.exit(1)
+        os.makedirs(self.model_folder, exist_ok=True)
+        os.makedirs(self.submits_folder, exist_ok=True)
+
+    def model_path(self, step: int) -> str:
+        return os.path.join(self.model_folder,
+                            '%s_%05d.ckp' % (self.params['alias'], step))
+
+    def save_checkpoint(self, path_or_step, state, rng_key=None) -> str:
+        path = (self.model_path(path_or_step)
+                if isinstance(path_or_step, int) else path_or_step)
+        save_checkpoint(path, state, rng_key)
+        return path
+
+    def save_submits(self, submits: Dict[str, Any], step: int,
+                     key: str = 'val_data') -> str:
+        split = self.params[key].split('/')[-1].split('.')[0]
+        file_name = os.path.join(
+            self.submits_folder,
+            '%s_%05d_%s.json' % (self.params['alias'], step, split))
+        with open(file_name, 'w') as f:
+            json.dump(_jsonable(submits), f)
+        return file_name
+
+
+def _jsonable(obj):
+    if isinstance(obj, dict):
+        return {k: _jsonable(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_jsonable(v) for v in obj]
+    if isinstance(obj, (np.floating, np.integer)):
+        return obj.item()
+    if isinstance(obj, np.ndarray):
+        return obj.tolist()
+    return obj
+
+
+def save_checkpoint(path: str, state, rng_key=None) -> None:
+    """Serialize {params, opt_state, step, rng} with flax msgpack."""
+    from flax import serialization
+
+    payload = {
+        'params': jax.device_get(state.params),
+        # to_state_dict flattens optax's tuple/namedtuple pytree into
+        # msgpack-friendly nested dicts; restore with restore_train_state
+        'opt_state': serialization.to_state_dict(
+            jax.device_get(state.opt_state)),
+        'step': int(jax.device_get(state.step)),
+        'rng': None if rng_key is None else np.asarray(jax.device_get(rng_key)),
+    }
+    blob = serialization.msgpack_serialize(payload)
+    tmp = path + '.tmp'
+    with open(tmp, 'wb') as f:
+        f.write(MAGIC)
+        f.write(blob)
+    os.replace(tmp, path)
+
+
+def load_checkpoint(path: str, torch_convert_kwargs: Optional[Dict] = None
+                    ) -> Tuple[Dict[str, Any], bool]:
+    """Load a checkpoint.
+
+    Returns (payload, is_reference_format). For our format the payload is
+    {params, opt_state, step, rng}; for a reference torch .ckp it is
+    {'params': <converted pytree>} only.
+    """
+    with open(path, 'rb') as f:
+        head = f.read(len(MAGIC))
+        if head == MAGIC:
+            from flax import serialization
+            payload = serialization.msgpack_restore(f.read())
+            return payload, False
+    # torch state_dict (zip or legacy pickle)
+    from .torch_interop import load_reference_ckp
+    params = load_reference_ckp(path, **(torch_convert_kwargs or {}))
+    return {'params': params, 'opt_state': None, 'step': 0, 'rng': None}, True
+
+
+def restore_train_state(state, payload):
+    """Rebuild a TrainState from a loaded payload (resume path). ``state``
+    supplies the opt_state structure for from_state_dict."""
+    from flax import serialization
+    import jax.numpy as jnp
+
+    opt_state = state.opt_state
+    if payload.get('opt_state') is not None:
+        opt_state = serialization.from_state_dict(state.opt_state,
+                                                  payload['opt_state'])
+    return state.replace(params=payload['params'], opt_state=opt_state,
+                         step=jnp.asarray(payload.get('step', 0), jnp.int32))

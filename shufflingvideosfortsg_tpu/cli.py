@@ -32,7 +32,7 @@ from .train.state import create_train_state, make_optimizer
 from .train.steps import (make_baseline_eval_step, make_baseline_train_step,
                           make_gmd_test_step, make_gmd_train_step,
                           make_gmd_valid_step)
-from .utils.saver import RunManager, load_checkpoint
+from .utils.saver import RunManager, load_checkpoint, restore_train_state
 
 
 # ---------------------------------------------------------------------------
@@ -165,6 +165,18 @@ def main_train(params: Dict[str, Any]) -> Dict[str, Any]:
     model_params = init_model_params(model, params, init_key, 'gmd')
     tx = make_optimizer(params, steps_per_epoch=len(train_loader))
     state = create_train_state(model_params, tx)
+    if params.get('start_from'):
+        payload, is_ref = load_checkpoint(
+            params['start_from'],
+            torch_convert_kwargs=dict(kind='gmd',
+                                      predictor_name=params['predictor'],
+                                      m_temp=params['m_temp']))
+        state = restore_train_state(state, payload)
+        if payload.get('rng') is not None:
+            key = jax.numpy.asarray(payload['rng'])
+        logger.warning('resume from checkpoint: %s (reference-format=%s, '
+                       'step=%s)', params['start_from'], is_ref,
+                       payload.get('step'))
     state = replicate_tree(mesh, state)
 
     train_step = make_gmd_train_step(model, params, lg)
@@ -322,6 +334,17 @@ def main_train_baseline(params: Dict[str, Any]) -> Dict[str, Any]:
     model_params = init_model_params(model, params, init_key, 'baseline')
     tx = make_optimizer(params, steps_per_epoch=len(train_loader))
     state = create_train_state(model_params, tx)
+    if params.get('start_from'):
+        payload, is_ref = load_checkpoint(
+            params['start_from'],
+            torch_convert_kwargs=dict(kind='baseline',
+                                      predictor_name=params['predictor']))
+        state = restore_train_state(state, payload)
+        if payload.get('rng') is not None:
+            key = jax.numpy.asarray(payload['rng'])
+        logger.warning('resume from checkpoint: %s (reference-format=%s, '
+                       'step=%s)', params['start_from'], is_ref,
+                       payload.get('step'))
     state = replicate_tree(mesh, state)
 
     train_step = make_baseline_train_step(model, params, lg)

@@ -28,6 +28,7 @@ import numpy as np
 
 from .annotations import detect_split, load_sentence_samples
 from .augment import DataAugmentForTSG
+from .featpack import PackedFeatureSource, is_featpack_dir
 from .masks import sample_masks, sequence_mask
 from .samplers import (clip_framestamps, frame_to_second,
                        frame_to_second_114, lg_fixed_length, one_to_one,
@@ -71,7 +72,14 @@ class SentenceGroundingDataset:
                                 params['word_fts_path'])
         self.samples = load_sentence_samples(
             annotation_file, self.dataset_name, self.vocab, self.sent_len)
-        self.store = FeatureStore(feature_path)
+        # packed feature blobs (tools/featpack.py) enable one parallel
+        # native gather per batch instead of per-sample np.load
+        self.pack: Optional[PackedFeatureSource] = None
+        if os.path.isdir(feature_path) and is_featpack_dir(feature_path):
+            self.pack = PackedFeatureSource(feature_path)
+            self.store = None
+        else:
+            self.store = FeatureStore(feature_path)
 
         self._sampler_rng = np.random.RandomState(params.get('seed', 123))
         self.if_aug = bool(params.get('if_aug', False))
@@ -150,8 +158,19 @@ class SentenceGroundingDataset:
 
     def build_record(self, idx: int, host_pair_aug: bool = False) -> Dict[str, Any]:
         s = self.samples[idx]
-        feats, framestamps, nfeats = self._sample_features(
-            s.vid, s.timestamps, s.duration)
+        needs_host_feats = host_pair_aug or (self.is_train and self.if_aug) \
+            or self.pack is None
+        if self.pack is not None:
+            row = self.pack.vid_to_row[s.vid]
+            nfeats = int(self.pack.nfeats[row])
+            framestamps = clip_framestamps(s.timestamps, self.sample_len)
+            if needs_host_feats:
+                feats = self.pack.gather(np.asarray([row]))  # [1, T, D]
+            else:
+                feats = None
+        else:
+            feats, framestamps, nfeats = self._sample_features(
+                s.vid, s.timestamps, s.duration)
         framestamps = list(framestamps)
 
         if self.is_train and self.if_aug and not host_pair_aug:
@@ -167,7 +186,6 @@ class SentenceGroundingDataset:
             'sent_mask': sequence_mask(self.sent_len, (0, s.sentence_len)),
             'duration': float(s.duration),
             'timestps': np.asarray(s.timestamps[:2], np.float32),
-            'video_feat': feats[0],
             'nfeats': nfeats,
             'video_mask': vm,
             'framestps': np.asarray(framestamps, np.int32),
@@ -175,6 +193,10 @@ class SentenceGroundingDataset:
             'fore_masks': fm,
             'back_masks': bm,
         }
+        if feats is not None:
+            rec['video_feat'] = feats[0]
+        else:
+            rec['pack_row'] = np.int64(self.pack.vid_to_row[s.vid])
         if host_pair_aug:
             aug_f, aug_n, aug_feats = self.data_aug.aug_data(
                 framestamps, nfeats, feats)
@@ -252,6 +274,10 @@ class BatchLoader:
         records = [self.dataset.build_record(int(i), self.host_pair_aug)
                    for i in chunk]
         batch = collate(records, n_valid)
+        if 'pack_row' in batch:
+            # one parallel native gather assembles the whole video batch
+            batch['video_feat'] = self.dataset.pack.gather(
+                batch.pop('pack_row'))
         if self.embed_tokens:
             # [B, N] ids -> [B, N, 300] GloVe rows (pad id 0 = '.' embedding,
             # exactly like the reference's word_emb_init gather)

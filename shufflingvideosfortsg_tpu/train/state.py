@@ -53,31 +53,55 @@ def lr_schedule_fn(params: Dict[str, Any], steps_per_epoch: int
         return fn
     if schd in ('lambda', 'l'):
         def fn(step):
-            epoch = (step // steps_per_epoch).astype(jnp.float32)
+            epoch = jnp.asarray(step // steps_per_epoch, jnp.float32)
             return base_lr * (base_lr - epoch * 1e-6)
         return fn
     raise ValueError(f'unknown lr_schd: {schd}')
+
+
+def group_weight_mask(params_tree) -> Any:
+    """Decay mask replicating the reference's group_weight partition
+    (helper_function.py:43-70): Linear kernels decay, Linear biases and
+    LayerNorm scale/bias do not; RNN weights AND biases decay (they fall
+    into the leftover 'no children' group there)."""
+    def walk(node):
+        if isinstance(node, dict):
+            keys = set(node.keys())
+            if 'kernel' in keys:  # a Dense: kernel decays, bias doesn't
+                return {k: (k == 'kernel') for k in keys}
+            if keys == {'scale', 'bias'}:  # LayerNorm: no decay
+                return {k: False for k in keys}
+            return {k: walk(v) for k, v in node.items()}
+        return True
+    return walk(jax.tree_util.tree_map(lambda x: x, params_tree))
+
+
+def _decay(wd: float, use_groups: bool) -> optax.GradientTransformation:
+    if use_groups:
+        return optax.masked(optax.add_decayed_weights(wd), group_weight_mask)
+    return optax.add_decayed_weights(wd)
 
 
 def make_optimizer(params: Dict[str, Any], steps_per_epoch: int
                    ) -> optax.GradientTransformation:
     schedule = lr_schedule_fn(params, steps_per_epoch)
     wd = float(params.get('weight_decay', 0.0))
+    grouped = bool(params.get('group_weight', False))
     name = str(params.get('optim', 'adam')).lower()
     chain = []
     if params.get('grad_clip'):
         chain.append(optax.clip_by_global_norm(float(params['grad_clip_max'])))
     if name == 'adam':
         if wd:
-            chain.append(optax.add_decayed_weights(wd))
+            chain.append(_decay(wd, grouped))
         chain.append(optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-6, eps_root=0.0))
     elif name == 'adamw':
         chain.append(optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8, eps_root=0.0))
         if wd:
-            chain.append(optax.add_decayed_weights(wd))
+            chain.append(_decay(wd, grouped))
     elif name == 'sgd':
         if wd:
-            chain.append(optax.add_decayed_weights(wd))
+            chain.append(_decay(wd, grouped))
         chain.append(optax.trace(decay=float(params.get('momentum', 0.8)),
                                  nesterov=False))
     else:

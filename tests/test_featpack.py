@@ -1,0 +1,91 @@
+"""Featpack: offline packer + native/numpy readers agree with the direct
+per-sample path, and the pipeline's packed fast path yields identical
+batches."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from shufflingvideosfortsg_tpu.config import load_config
+from shufflingvideosfortsg_tpu.data.featpack import (PackedFeatureSource,
+                                                     is_featpack_dir)
+from shufflingvideosfortsg_tpu.data.pipeline import (BatchLoader,
+                                                     SentenceGroundingDataset)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ANNO = "/root/reference/data/Charades-CD/charades_val.json"
+
+
+@pytest.fixture(scope="module")
+def packed(tmp_path_factory):
+    if not os.path.isfile(ANNO):
+        pytest.skip("reference annotations unavailable")
+    feat_dir = str(tmp_path_factory.mktemp("raw_feats"))
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools/make_synth_features.py"),
+         "--dataset", "charades", "--out", feat_dir,
+         "--annotations", ANNO, "--dim", "32"],
+        check=True, capture_output=True)
+    pack_dir = str(tmp_path_factory.mktemp("pack"))
+    env = dict(os.environ, SVTSG_PLATFORM="cpu")
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools/featpack.py"),
+         "--cfg", os.path.join(REPO, "cfgs/charades_cd_i3d.yml"),
+         "--annotation", ANNO, "--featpath", feat_dir, "--out", pack_dir,
+         "--data_root", "/root/reference/data"],
+        check=True, capture_output=True, env=env)
+    return feat_dir, pack_dir
+
+
+def _params(feat):
+    return load_config(os.path.join(REPO, "cfgs/charades_cd_i3d.yml"),
+                       overrides={"valid_featpath": feat},
+                       data_root="/root/reference/data")
+
+
+def test_pack_readers_agree(packed):
+    feat_dir, pack_dir = packed
+    assert is_featpack_dir(pack_dir)
+    src_native = PackedFeatureSource(pack_dir, use_native=True)
+    src_np = PackedFeatureSource(pack_dir, use_native=False)
+    assert not src_np.native
+    rows = np.arange(min(16, src_np.num_videos), dtype=np.int64)
+    a = src_native.gather(rows)
+    b = src_np.gather(rows)
+    np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(src_native.nfeats_for(rows),
+                                  src_np.nfeats_for(rows))
+    if src_native.native:
+        # out-of-range row yields zeros (native guard)
+        z = src_native.gather(np.asarray([10 ** 6], np.int64))
+        np.testing.assert_array_equal(z, 0)
+
+
+def test_pack_matches_direct_pipeline(packed):
+    feat_dir, pack_dir = packed
+    params = _params(feat_dir)
+    ds_direct = SentenceGroundingDataset(ANNO, feat_dir, params, "charades")
+    ds_packed = SentenceGroundingDataset(ANNO, pack_dir, params, "charades")
+    assert ds_packed.pack is not None
+
+    b_direct = next(iter(BatchLoader(ds_direct, 32, shuffle=False, prefetch=0)))
+    b_packed = next(iter(BatchLoader(ds_packed, 32, shuffle=False, prefetch=0)))
+    np.testing.assert_allclose(b_packed["video_feat"], b_direct["video_feat"],
+                               rtol=1e-6)
+    for k in ("nfeats", "framestps", "video_mask", "temporal_labels"):
+        np.testing.assert_array_equal(b_packed[k], b_direct[k])
+
+
+def test_pack_host_aug_path(packed):
+    feat_dir, pack_dir = packed
+    params = dict(_params(feat_dir), if_aug=True, aug_percentage=1.0,
+                  aug_mode="gt_translate")
+    ds = SentenceGroundingDataset(ANNO, pack_dir, params, "charades")
+    ds.split, ds.is_train = "train", True
+    b = next(iter(BatchLoader(ds, 8, shuffle=False, prefetch=0)))
+    assert b["video_feat"].shape[0] == 8  # per-sample gather fallback works
+    s, e = b["framestps"][0]
+    assert b["temporal_labels"][0][s:e + 1].sum() == e - s + 1

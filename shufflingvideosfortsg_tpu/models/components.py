@@ -150,24 +150,33 @@ class SCDMAttention(nn.Module):
 
 
 class RNNRecalibrationLayer(nn.Module):
-    """One QAVE block: BiLSTM -> SCDM context -> sigmoid channel gate."""
+    """One QAVE block: BiLSTM -> SCDM context -> sigmoid channel gate.
+
+    Split into run_rnn/apply_gate so the multi-query serving path can run
+    the query-independent recurrence once and gate per query."""
     hidden_dim: int
     n_layers: int
     ca_activ: str
     dropout: float
     dtype: Any = jnp.float32
 
-    @nn.compact
-    def __call__(self, video_feat: jnp.ndarray, word_feat: jnp.ndarray,
-                 deterministic: bool = True) -> jnp.ndarray:
-        rnn_output, _, _ = BiLSTM(self.hidden_dim, self.n_layers, self.dropout,
-                                  dtype=self.dtype, name='rnn')(video_feat,
-                                                                deterministic)
-        visual_dim = self.hidden_dim * 2
-        C = SCDMAttention(visual_dim, dtype=self.dtype,
-                          name='attention')(rnn_output, word_feat)
-        channel_attn = TDense(visual_dim, dtype=self.dtype,
-                              name='sent_linear')(C)
+    def setup(self):
+        self.rnn = BiLSTM(self.hidden_dim, self.n_layers, self.dropout,
+                          dtype=self.dtype, name='rnn')
+        self.attention = SCDMAttention(self.hidden_dim * 2, dtype=self.dtype,
+                                       name='attention')
+        self.sent_linear = TDense(self.hidden_dim * 2, dtype=self.dtype,
+                                  name='sent_linear')
+
+    def run_rnn(self, video_feat: jnp.ndarray,
+                deterministic: bool = True) -> jnp.ndarray:
+        rnn_output, _, _ = self.rnn(video_feat, deterministic)
+        return rnn_output
+
+    def apply_gate(self, rnn_output: jnp.ndarray,
+                   word_feat: jnp.ndarray) -> jnp.ndarray:
+        C = self.attention(rnn_output, word_feat)
+        channel_attn = self.sent_linear(C)
         if self.ca_activ == 'sigmoid':
             channel_attn = jax.nn.sigmoid(channel_attn)
         elif self.ca_activ == 'relu':
@@ -175,6 +184,11 @@ class RNNRecalibrationLayer(nn.Module):
         elif self.ca_activ == 'tanh':
             channel_attn = jnp.tanh(channel_attn)
         return rnn_output * channel_attn
+
+    def __call__(self, video_feat: jnp.ndarray, word_feat: jnp.ndarray,
+                 deterministic: bool = True) -> jnp.ndarray:
+        return self.apply_gate(self.run_rnn(video_feat, deterministic),
+                               word_feat)
 
 
 class QueryAwareEncoder(nn.Module):
@@ -190,16 +204,36 @@ class QueryAwareEncoder(nn.Module):
     def visual_dim(self) -> int:
         return self.hidden_dim * 2
 
-    @nn.compact
+    def setup(self):
+        self.blocks = tuple(
+            RNNRecalibrationLayer(self.hidden_dim, self.n_layers,
+                                  self.ca_activ, self.dropout,
+                                  dtype=self.dtype, name=f'block{i}')
+            for i in range(self.nblocks))
+        self.norm = LayerNorm(dtype=self.dtype, name='norm')
+
     def __call__(self, video_feat: jnp.ndarray, word_feat: jnp.ndarray,
                  deterministic: bool = True) -> jnp.ndarray:
         residual = video_feat
-        for i in range(self.nblocks):
-            residual = RNNRecalibrationLayer(
-                self.hidden_dim, self.n_layers, self.ca_activ, self.dropout,
-                dtype=self.dtype, name=f'block{i}')(residual, word_feat,
-                                                    deterministic)
-        return LayerNorm(dtype=self.dtype, name='norm')(residual)
+        for block in self.blocks:
+            residual = block(residual, word_feat, deterministic)
+        return self.norm(residual)
+
+    def shared_video(self, video_feat: jnp.ndarray, word_feat: jnp.ndarray
+                     ) -> jnp.ndarray:
+        """Serving path: one resident video [1, T, D] against Q queries.
+
+        Block 0's BiLSTM is query-independent, so its recurrence (the most
+        expensive scan — D=1024 input) runs ONCE and only the SCDM gate is
+        evaluated per query; later blocks depend on the query and run
+        batched over Q."""
+        Q = word_feat.shape[0]
+        rnn0 = self.blocks[0].run_rnn(video_feat)           # [1, T, 2H]
+        rnn0 = jnp.broadcast_to(rnn0, (Q,) + rnn0.shape[1:])
+        residual = self.blocks[0].apply_gate(rnn0, word_feat)
+        for block in self.blocks[1:]:
+            residual = block(residual, word_feat)
+        return self.norm(residual)
 
 
 # ---------------------------------------------------------------------------

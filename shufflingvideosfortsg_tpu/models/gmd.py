@@ -132,3 +132,36 @@ class GMD(nn.Module):
             deterministic=deterministic)
         return {'start_prob': start_prob, 'end_prob': end_prob,
                 'match_prob': match_prob}
+
+    def serve_multi_query(self, video_feat: jnp.ndarray,
+                          query_feat: jnp.ndarray,
+                          video_mask: Optional[jnp.ndarray] = None
+                          ) -> Dict[str, jnp.ndarray]:
+        """Batched multi-query grounding: Q sentences x 1 resident video.
+
+        video_feat: [1, T, D]; query_feat: [Q, N, 300]. The first QAVE
+        block's recurrence runs once for the video and is shared across all
+        queries (QueryAwareEncoder.shared_video); everything downstream is
+        batched over Q. This is the serving configuration from
+        BASELINE.json configs[4].
+        """
+        Q = query_feat.shape[0]
+        word_feat, sent_embed = self.sentence_encoder(query_feat, True)
+        if hasattr(self.video_encoder, 'shared_video'):
+            frame_feat = self.video_encoder.shared_video(video_feat, word_feat)
+        else:
+            tiled = jnp.broadcast_to(video_feat,
+                                     (Q,) + video_feat.shape[1:])
+            frame_feat = self.video_encoder(tiled, word_feat, True)
+        vmask = None
+        if video_mask is not None:
+            vmask = jnp.broadcast_to(video_mask, (Q, video_mask.shape[-1]))
+        cross_feat = cmi_apply(self.cross_name, frame_feat, word_feat,
+                               sent_embed)
+        match_prob, _ = self.csmm(frame_feat, sent_embed, vmask, True)
+        gated_feat = match_prob[:, :, None] * cross_feat
+        start_prob, end_prob = self.span_predictor(
+            gated_feat, v_mask=vmask if self.video_if_mask else None,
+            deterministic=True)
+        return {'start_prob': start_prob, 'end_prob': end_prob,
+                'match_prob': match_prob}

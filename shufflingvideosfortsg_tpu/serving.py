@@ -1,0 +1,82 @@
+"""Multi-query grounding service: N sentences x 1 (long) video per step.
+
+The stretch serving configuration from BASELINE.json configs[4]: a video's
+features stay resident on device while query batches stream through. The
+first QAVE block's recurrence is computed once per video (query-
+independent) and shared across every query; queries shard over the 'data'
+mesh axis for multi-chip serving.
+
+Usage:
+    grounder = MultiQueryGrounder(params, model_params)
+    spans, scores = grounder.ground(video_feats_TxD, sent_feats_QxNx300)
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .models import build_model
+from .ops.span import span_decode
+from .parallel.mesh import batch_sharding, create_mesh, replicated_sharding
+
+
+class MultiQueryGrounder:
+    def __init__(self, params: Dict, model_params, mesh=None,
+                 query_batch: int = 256):
+        self.params = params
+        self.model = build_model(params, 'gmd')
+        self.mesh = mesh if mesh is not None else create_mesh(
+            params.get('mesh_shape'))
+        self.query_batch = query_batch
+        self.model_params = jax.device_put(
+            model_params, replicated_sharding(self.mesh))
+        model = self.model
+
+        @jax.jit
+        def _serve(p, video, queries):
+            out = model.apply({'params': p}, video, queries,
+                              method=model.serve_multi_query)
+            pred, score = span_decode(out['start_prob'], out['end_prob'])
+            return pred, score
+
+        self._serve = _serve
+        self._resident_video: Optional[jnp.ndarray] = None
+
+    def set_video(self, video_feats: np.ndarray) -> None:
+        """Pin a [T, D] feature array on device (replicated)."""
+        self._resident_video = jax.device_put(
+            jnp.asarray(video_feats, jnp.float32)[None],
+            replicated_sharding(self.mesh))
+
+    def ground(self, video_feats: Optional[np.ndarray],
+               sent_feats: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """Ground Q queries against the given (or resident) video.
+
+        sent_feats: [Q, N, 300]. Queries are processed in device-sharded
+        chunks of ``query_batch`` (padded to a full chunk; outputs
+        trimmed)."""
+        if video_feats is not None:
+            self.set_video(video_feats)
+        assert self._resident_video is not None, 'no video set'
+        Q = sent_feats.shape[0]
+        qb = self.query_batch
+        preds, scores = [], []
+        qsharding = batch_sharding(self.mesh)
+        for i in range(0, Q, qb):
+            chunk = sent_feats[i:i + qb]
+            n = len(chunk)
+            if n < qb:
+                pad = np.repeat(chunk[-1:], qb - n, axis=0)
+                chunk = np.concatenate([chunk, pad], axis=0)
+            queries = jax.device_put(jnp.asarray(chunk, jnp.float32),
+                                     qsharding)
+            pred, score = self._serve(self.model_params,
+                                      self._resident_video, queries)
+            preds.append(np.asarray(pred)[:n])
+            scores.append(np.asarray(score)[:n])
+        return np.concatenate(preds), np.concatenate(scores)

@@ -1,0 +1,74 @@
+"""Multi-query serving: shared-block0 path must equal the plain eval path,
+and the grounder must handle chunking/padding and mesh sharding."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from shufflingvideosfortsg_tpu.models import GMD
+from shufflingvideosfortsg_tpu.serving import MultiQueryGrounder
+
+T, N, DV = 20, 6, 16
+
+
+def tiny_gmd():
+    return GMD(sent_hidden=8, sent_layers=1, video_hidden=8, video_layers=1,
+               nblocks=2, cross_name='vs', predictor_name='mlp',
+               mlp_hidden_dim=8, span_hidden_dim=8, video_if_mask=False,
+               dropout=0.0, m_temp='none', m_pred_hidden=16,
+               m_pred_activ='relu')
+
+
+@pytest.fixture(scope='module')
+def model_and_params():
+    model = tiny_gmd()
+    mt = jnp.ones((2, T), jnp.int32)
+    mn = jnp.ones((2, N), jnp.int32)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((2, N, 300)), mn,
+                   jnp.zeros((2, T, DV)), mt, jnp.zeros((2, T, DV)), mt,
+                   mt, mt, mt, mt, mt, mt)
+    return model, v['params']
+
+
+def test_shared_video_equals_eval_forward(model_and_params, rng):
+    model, params = model_and_params
+    Q = 5
+    video = rng.randn(1, T, DV).astype(np.float32)
+    queries = rng.randn(Q, N, 300).astype(np.float32)
+
+    out_serve = model.apply({'params': params}, jnp.array(video),
+                            jnp.array(queries),
+                            method=model.serve_multi_query)
+    # plain path: tile the video over Q
+    tiled = np.repeat(video, Q, axis=0)
+    out_eval = model.apply({'params': params}, jnp.array(tiled),
+                           jnp.array(queries), None, None,
+                           method=model.eval_forward)
+    np.testing.assert_allclose(np.asarray(out_serve['start_prob']),
+                               np.asarray(out_eval['start_prob']),
+                               atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_serve['end_prob']),
+                               np.asarray(out_eval['end_prob']),
+                               atol=1e-5, rtol=1e-4)
+
+
+def test_grounder_chunking(model_and_params, rng):
+    model, params = model_and_params
+    cfg = dict(sent_rnn_hiddendim=8, sent_rnn_layers=1,
+               video_encoder='query_aware_encoder', video_rnn_hiddendim=8,
+               video_rnn_layers=1, crossmodal='vs', predictor='mlp',
+               mlp_hidden_dim=8, span_hidden_dim=8, mask=False, dropout=0.0,
+               m_temp='none', m_pred_hidden=16, m_pred_activ='relu',
+               precision='f32', mesh_shape=[8])
+    g = MultiQueryGrounder(cfg, params, query_batch=8)
+    video = rng.randn(T, DV).astype(np.float32)
+    queries = rng.randn(19, N, 300).astype(np.float32)  # 2 full + 1 partial
+    pred, score = g.ground(video, queries)
+    assert pred.shape == (19, 2) and score.shape == (19,)
+    assert (pred[:, 1] >= pred[:, 0]).all()
+    # resident-video reuse: same answer without re-passing the video
+    pred2, score2 = g.ground(None, queries)
+    np.testing.assert_array_equal(pred, pred2)
+    np.testing.assert_allclose(score, score2, rtol=1e-6)

@@ -40,7 +40,7 @@ def main():
     params = load_config(None, overrides={
         'video_len': 128, 'sent_len': 15, 'video_feature_dim': 1024,
         'precision': args.precision})
-    model = build_model(params, 'gmd')
+    model = build_model(params, 'gmd', inference=True)
 
     B, T, N, Dv = args.batch, 128, 15, 1024
     rng = np.random.RandomState(0)

@@ -269,7 +269,7 @@ def main_test(params: Dict[str, Any]) -> str:
     mesh = create_mesh(params.get('mesh_shape'))
     lg = str(params['vfeat_fn']).lower() == 'lg'
 
-    model = build_model(params, 'gmd')
+    model = build_model(params, 'gmd', inference=True)
     test_set = make_dataset(params, 'test_data', 'test_featpath', 'test')
     test_loader = BatchLoader(test_set, params['batch_size'][0], shuffle=False)
 
@@ -413,7 +413,7 @@ def main_test_baseline(params: Dict[str, Any]) -> str:
     mesh = create_mesh(params.get('mesh_shape'))
     lg = str(params['vfeat_fn']).lower() == 'lg'
 
-    model = build_model(params, 'baseline')
+    model = build_model(params, 'baseline', inference=True)
     test_set = make_dataset(params, 'test_data', 'test_featpath', 'test')
     test_loader = BatchLoader(test_set, params['batch_size'][0], shuffle=False)
 

@@ -27,18 +27,20 @@ class Baseline(nn.Module):
     video_if_mask: bool = False
     dropout: float = 0.5
     dtype: Any = jnp.float32
+    fused_inference: bool = False
 
     def setup(self):
         self.sentence_encoder = SentenceRNNEncoder(
-            self.sent_hidden, self.sent_layers, self.dropout, dtype=self.dtype)
+            self.sent_hidden, self.sent_layers, self.dropout, dtype=self.dtype,
+            fused=self.fused_inference)
         if self.video_encoder_name.lower() in ('query_aware_encoder', 'qae', 'qave'):
             self.video_encoder = QueryAwareEncoder(
                 self.video_hidden, self.video_layers, self.nblocks,
-                self.dropout, dtype=self.dtype)
+                self.dropout, dtype=self.dtype, fused=self.fused_inference)
         else:
             self.video_encoder = VideoRNNEncoder(
                 self.video_hidden, self.video_layers, self.dropout,
-                dtype=self.dtype)
+                dtype=self.dtype, fused=self.fused_inference)
         self.span_predictor = SpanPredictorBoundary(
             self.predictor_name, self.mlp_hidden_dim, self.span_hidden_dim,
             self.dropout, dtype=self.dtype)

@@ -16,8 +16,18 @@ def _dtype(params: Dict[str, Any]):
         'bf16', 'bfloat16') else jnp.float32
 
 
-def model_config_from_params(params: Dict[str, Any]) -> Dict[str, Any]:
+def _fused(params: Dict[str, Any], inference: bool) -> bool:
+    mode = params.get('fused_inference', 'auto')
+    if mode == 'auto':
+        import jax
+        return inference and jax.default_backend() == 'tpu'
+    return bool(mode) and inference
+
+
+def model_config_from_params(params: Dict[str, Any],
+                             inference: bool = False) -> Dict[str, Any]:
     return dict(
+        fused_inference=_fused(params, inference),
         sent_hidden=params['sent_rnn_hiddendim'],
         sent_layers=params['sent_rnn_layers'],
         video_encoder_name=params['video_encoder'],
@@ -34,8 +44,9 @@ def model_config_from_params(params: Dict[str, Any]) -> Dict[str, Any]:
     )
 
 
-def build_model(params: Dict[str, Any], kind: str = 'gmd'):
-    cfg = model_config_from_params(params)
+def build_model(params: Dict[str, Any], kind: str = 'gmd',
+                inference: bool = False):
+    cfg = model_config_from_params(params, inference)
     if kind.lower() in ('gmd', 'qave_match'):
         return GMD(
             m_temp=params['m_temp'],

@@ -95,6 +95,7 @@ class SentenceRNNEncoder(nn.Module):
     n_layers: int
     dropout: float
     dtype: Any = jnp.float32
+    fused: bool = False
 
     @property
     def textual_dim(self) -> int:
@@ -107,6 +108,7 @@ class SentenceRNNEncoder(nn.Module):
                                 name='word_embed')(query_feat)
         word_encoding, hn, _ = BiLSTM(self.hidden_dim, self.n_layers,
                                       self.dropout, dtype=self.dtype,
+                                      fused=self.fused,
                                       name='rnn')(word_embedding, deterministic)
         sent_embedding = jnp.concatenate([hn[-2], hn[-1]], axis=-1)
         return word_encoding, sent_embedding
@@ -118,6 +120,7 @@ class VideoRNNEncoder(nn.Module):
     n_layers: int
     dropout: float
     dtype: Any = jnp.float32
+    fused: bool = False
 
     @property
     def visual_dim(self) -> int:
@@ -127,8 +130,8 @@ class VideoRNNEncoder(nn.Module):
     def __call__(self, video_feat: jnp.ndarray, word_feat=None,
                  deterministic: bool = True) -> jnp.ndarray:
         encoding, _, _ = BiLSTM(self.hidden_dim, self.n_layers, self.dropout,
-                                dtype=self.dtype, name='rnn')(video_feat,
-                                                              deterministic)
+                                dtype=self.dtype, fused=self.fused,
+                                name='rnn')(video_feat, deterministic)
         return LayerNorm(dtype=self.dtype, name='norm')(encoding)
 
 
@@ -159,10 +162,11 @@ class RNNRecalibrationLayer(nn.Module):
     ca_activ: str
     dropout: float
     dtype: Any = jnp.float32
+    fused: bool = False
 
     def setup(self):
         self.rnn = BiLSTM(self.hidden_dim, self.n_layers, self.dropout,
-                          dtype=self.dtype, name='rnn')
+                          dtype=self.dtype, fused=self.fused, name='rnn')
         self.attention = SCDMAttention(self.hidden_dim * 2, dtype=self.dtype,
                                        name='attention')
         self.sent_linear = TDense(self.hidden_dim * 2, dtype=self.dtype,
@@ -199,6 +203,7 @@ class QueryAwareEncoder(nn.Module):
     dropout: float
     ca_activ: str = 'sigmoid'
     dtype: Any = jnp.float32
+    fused: bool = False
 
     @property
     def visual_dim(self) -> int:
@@ -208,7 +213,8 @@ class QueryAwareEncoder(nn.Module):
         self.blocks = tuple(
             RNNRecalibrationLayer(self.hidden_dim, self.n_layers,
                                   self.ca_activ, self.dropout,
-                                  dtype=self.dtype, name=f'block{i}')
+                                  dtype=self.dtype, fused=self.fused,
+                                  name=f'block{i}')
             for i in range(self.nblocks))
         self.norm = LayerNorm(dtype=self.dtype, name='norm')
 
@@ -486,6 +492,7 @@ class VideoTextSemanticMatch(nn.Module):
     predict_activation: str
     dropout: float
     dtype: Any = jnp.float32
+    fused: bool = False
 
     @nn.compact
     def __call__(self, video_feat, query_feat, video_mask=None,
@@ -500,7 +507,8 @@ class VideoTextSemanticMatch(nn.Module):
         if self.temporal_name.lower() == 'lstm':
             temporal_feat, _, _ = BiLSTM(self.temporal_hidden,
                                          self.temporal_layers, self.dropout,
-                                         dtype=self.dtype, name='temporal')(
+                                         dtype=self.dtype, fused=self.fused,
+                                         name='temporal')(
                                              cross_feat, deterministic)
         else:
             temporal_feat = cross_feat

@@ -46,25 +46,28 @@ class GMD(nn.Module):
     # regularization / dtype
     dropout: float = 0.5
     dtype: Any = jnp.float32
+    # inference-only fused Pallas LSTM recurrence (eval/serving builds)
+    fused_inference: bool = False
 
     def setup(self):
         self.sentence_encoder = SentenceRNNEncoder(
-            self.sent_hidden, self.sent_layers, self.dropout, dtype=self.dtype)
+            self.sent_hidden, self.sent_layers, self.dropout, dtype=self.dtype,
+            fused=self.fused_inference)
         if self.video_encoder_name.lower() in ('query_aware_encoder', 'qae', 'qave'):
             self.video_encoder = QueryAwareEncoder(
                 self.video_hidden, self.video_layers, self.nblocks,
-                self.dropout, dtype=self.dtype)
+                self.dropout, dtype=self.dtype, fused=self.fused_inference)
         else:
             self.video_encoder = VideoRNNEncoder(
                 self.video_hidden, self.video_layers, self.dropout,
-                dtype=self.dtype)
+                dtype=self.dtype, fused=self.fused_inference)
         self.span_predictor = SpanPredictorBoundary(
             self.predictor_name, self.mlp_hidden_dim, self.span_hidden_dim,
             self.dropout, dtype=self.dtype)
         self.csmm = VideoTextSemanticMatch(
             self.m_temp, self.m_temp_hidden, self.m_temp_layers,
             self.m_pred_hidden, self.m_pred_activ, self.dropout,
-            dtype=self.dtype)
+            dtype=self.dtype, fused=self.fused_inference)
         self.tod = MomentPoolingTOD(self.video_hidden * 2, dtype=self.dtype)
 
     def __call__(self, query_feat: jnp.ndarray, query_mask: jnp.ndarray,

@@ -88,6 +88,7 @@ class BiLSTM(nn.Module):
     dropout: float = 0.0
     dtype: Any = jnp.float32
     unroll: int = 8
+    fused: bool = False  # inference-only Pallas fused-scan kernel
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True
@@ -109,10 +110,17 @@ class BiLSTM(nn.Module):
             xw = xw + b[:, None, None, :].astype(self.dtype)
             xw = jnp.transpose(xw, (2, 0, 1, 3))  # [T, 2, B, 4H]
 
-            h0 = jnp.zeros((2, B, H), self.dtype)
-            c0 = jnp.zeros((2, B, H), self.dtype)
-            out, (h_f, c_f) = _lstm_scan(xw, w_hh.astype(self.dtype), h0, c0,
-                                         unroll=self.unroll)
+            if self.fused:
+                from .pallas.lstm_scan import lstm_scan_pallas
+                out, h_f, c_f = lstm_scan_pallas(xw, w_hh.astype(self.dtype))
+                out = out.astype(self.dtype)
+                h_f = h_f.astype(self.dtype)
+                c_f = c_f.astype(self.dtype)
+            else:
+                h0 = jnp.zeros((2, B, H), self.dtype)
+                c0 = jnp.zeros((2, B, H), self.dtype)
+                out, (h_f, c_f) = _lstm_scan(xw, w_hh.astype(self.dtype),
+                                             h0, c0, unroll=self.unroll)
             # out: [T, 2, B, H] -> fwd [B, T, H], bwd un-reversed [B, T, H]
             fwd = jnp.transpose(out[:, 0], (1, 0, 2))
             bwd = jnp.transpose(out[:, 1], (1, 0, 2))[:, ::-1]

@@ -29,7 +29,7 @@ class MultiQueryGrounder:
     def __init__(self, params: Dict, model_params, mesh=None,
                  query_batch: int = 256):
         self.params = params
-        self.model = build_model(params, 'gmd')
+        self.model = build_model(params, 'gmd', inference=True)
         self.mesh = mesh if mesh is not None else create_mesh(
             params.get('mesh_shape'))
         self.query_batch = query_batch

@@ -1,0 +1,62 @@
+"""Fused Pallas LSTM recurrence: exact parity with the lax.scan recurrence
+(interpret mode on CPU), at multiple shapes including non-multiple-of-4 T
+and the full BiLSTM module path."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from shufflingvideosfortsg_tpu.ops.pallas.lstm_scan import lstm_scan_pallas
+from shufflingvideosfortsg_tpu.ops.rnn import BiLSTM
+
+
+def scan_oracle(xw, w_hh, H):
+    def step(carry, x):
+        h, c = carry
+        gates = x + jnp.einsum('dbh,dhg->dbg', h, w_hh)
+        i = jax.nn.sigmoid(gates[..., :H])
+        f = jax.nn.sigmoid(gates[..., H:2 * H])
+        g = jnp.tanh(gates[..., 2 * H:3 * H])
+        o = jax.nn.sigmoid(gates[..., 3 * H:])
+        c = f * c + i * g
+        h = o * jnp.tanh(c)
+        return (h, c), h
+    B = xw.shape[2]
+    zeros = jnp.zeros((2, B, H))
+    (hf, cf), outs = jax.lax.scan(step, (zeros, zeros), xw)
+    return outs, hf, cf
+
+
+@pytest.mark.parametrize("T,B,H", [(12, 4, 8), (7, 2, 8), (16, 8, 16),
+                                   (33, 3, 8)])
+def test_kernel_matches_scan(rng, T, B, H):
+    xw = jnp.asarray(rng.randn(T, 2, B, 4 * H).astype(np.float32))
+    w_hh = jnp.asarray((rng.randn(2, H, 4 * H) * 0.1).astype(np.float32))
+    out, hT, cT = lstm_scan_pallas(xw, w_hh, interpret=True)
+    want_out, want_h, want_c = scan_oracle(xw, w_hh, H)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want_out),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(hT), np.asarray(want_h), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(cT), np.asarray(want_c), atol=1e-6)
+
+
+def test_fused_bilstm_module_matches_scan_module(rng):
+    """BiLSTM(fused=True) under interpret mode == BiLSTM(fused=False)."""
+    B, T, D, H = 3, 10, 12, 8
+    x = jnp.asarray(rng.randn(B, T, D).astype(np.float32))
+    ref = BiLSTM(hidden_size=H, num_layers=2)
+    variables = ref.init(jax.random.PRNGKey(0), x)
+    out_ref, hn_ref, cn_ref = ref.apply(variables, x)
+
+    fused = BiLSTM(hidden_size=H, num_layers=2, fused=True)
+    with pltpu.force_tpu_interpret_mode():
+        out_f, hn_f, cn_f = fused.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_ref),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(hn_f), np.asarray(hn_ref),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(cn_f), np.asarray(cn_ref),
+                               atol=1e-5, rtol=1e-5)

@@ -23,8 +23,72 @@ import jax.numpy as jnp
 BASELINE_SENT_PER_S = 676.0  # reference eval throughput, 1 GPU
 
 
+def bench_train(args):
+    """Training throughput: raw+pseudo pairs/s through the full GMD train
+    step (4-term loss + on-device gt_translate + optimizer update) vs the
+    reference's ~78 pairs/s (BASELINE.md, ANet-CD train.log)."""
+    from shufflingvideosfortsg_tpu.config import load_config
+    from shufflingvideosfortsg_tpu.models import build_model
+    from shufflingvideosfortsg_tpu.train.state import (create_train_state,
+                                                       make_optimizer)
+    from shufflingvideosfortsg_tpu.train.steps import make_gmd_train_step
+
+    # ANet-CD train configuration (T=240) to match the 78 pairs/s figure
+    params = load_config(None, overrides={
+        'video_len': 240, 'sent_len': 25, 'video_feature_dim': 1024,
+        'precision': args.precision})
+    model = build_model(params, 'gmd')
+    B, T, N, Dv = args.batch, 240, 25, 1024
+    rng = np.random.RandomState(0)
+    s = rng.randint(0, T - 30, B).astype(np.int32)
+    e = (s + rng.randint(5, 25, B)).astype(np.int32)
+    ts = np.arange(T)[None]
+    batch = {
+        'sent_feat': jnp.asarray(rng.randn(B, N, 300), jnp.float32),
+        'sent_mask': jnp.ones((B, N), jnp.int32),
+        'video_feat': jnp.asarray(rng.randn(B, T, Dv), jnp.float32),
+        'video_mask': jnp.ones((B, T), jnp.int32),
+        'nfeats': jnp.full((B,), T, jnp.int32),
+        'framestps': jnp.asarray(np.stack([s, e], -1)),
+        'timestps': jnp.asarray(np.stack([s, e], -1), jnp.float32),
+        'duration': jnp.full((B,), float(T), jnp.float32),
+        'temporal_labels': jnp.asarray(
+            ((ts >= s[:, None]) & (ts <= e[:, None])).astype(np.int32)),
+        'fore_masks': jnp.asarray((ts <= s[:, None]).astype(np.int32)),
+        'back_masks': jnp.asarray((ts >= e[:, None]).astype(np.int32)),
+    }
+    mt = jnp.ones((2, T), jnp.int32)
+    mn = jnp.ones((2, N), jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((2, N, 300)), mn, jnp.zeros((2, T, Dv)),
+                           mt, jnp.zeros((2, T, Dv)), mt, mt, mt, mt, mt, mt,
+                           mt)
+    tx = make_optimizer(params, steps_per_epoch=1000)
+    state = create_train_state(variables['params'], tx)
+    step = make_gmd_train_step(model, params)
+    key = jax.random.PRNGKey(0)
+    for _ in range(args.warmup + 1):
+        key, sk = jax.random.split(key)
+        state, m = step(state, batch, sk)
+    np.asarray(m['loss'])
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        key, sk = jax.random.split(key)
+        state, m = step(state, batch, sk)
+    np.asarray(m['loss'])
+    dt = time.perf_counter() - t0
+    pairs_per_s = args.iters * B / dt
+    print(json.dumps({
+        'metric': 'anet_cd_train_pairs_per_sec_per_chip',
+        'value': round(pairs_per_s, 1),
+        'unit': 'pairs/s',
+        'vs_baseline': round(pairs_per_s / 78.0, 2),
+    }))
+
+
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument('--mode', default='eval', choices=['eval', 'train'])
     ap.add_argument('--batch', type=int, default=512)
     ap.add_argument('--iters', type=int, default=30)
     ap.add_argument('--warmup', type=int, default=5)
@@ -32,6 +96,9 @@ def main():
     ap.add_argument('--total-sentences', type=int, default=3375,
                     help='simulate the full Charades-CD ood eval size')
     args = ap.parse_args()
+    if args.mode == 'train':
+        bench_train(args)
+        return
 
     from shufflingvideosfortsg_tpu.config import load_config
     from shufflingvideosfortsg_tpu.models import build_model

@@ -142,6 +142,21 @@ def _avg(metrics_list, key):
     return float(np.mean([float(m[key]) for m in metrics_list]))
 
 
+
+def _check_finite(metrics, state, saver, key, logger, epoch, idx):
+    """Failure detection: a non-finite loss aborts with an emergency
+    checkpoint instead of silently corrupting the run (the reference had
+    no failure handling at all — SURVEY.md §5)."""
+    loss = float(metrics['loss'])
+    if np.isfinite(loss):
+        return
+    path = saver.model_path(99999)
+    saver.save_checkpoint(path, state, key)
+    logger.error('non-finite loss %s at epoch %d batch %d; emergency '
+                 'checkpoint saved to %s', loss, epoch, idx, path)
+    raise FloatingPointError(f'non-finite loss at epoch {epoch} batch {idx}')
+
+
 # ---------------------------------------------------------------------------
 # GMD training driver (train.py)
 # ---------------------------------------------------------------------------
@@ -202,6 +217,7 @@ def main_train(params: Dict[str, Any]) -> Dict[str, Any]:
                     step_epoch, idx, len(train_loader), time.time() - t_b,
                     m['loss'], m['miou'], m['loss_g'], m['loss_intra'],
                     m['loss_inter'], m['loss_d'])
+                _check_finite(m, state, saver, key, logger, step_epoch, idx)
         epoch_metrics = jax.device_get(epoch_metrics)
         avg_loss = _avg(epoch_metrics, 'loss')
         logger.info('epoch [%03d]: elapsed time:%0.2fs, avg loss: %03.3f, '
@@ -367,6 +383,7 @@ def main_train_baseline(params: Dict[str, Any]) -> Dict[str, Any]:
                             'time=%0.2fs, loss: %03.3f, miou: %03.3f',
                             step_epoch, idx, len(train_loader),
                             time.time() - t_b, m['loss'], m['miou'])
+                _check_finite(m, state, saver, key, logger, step_epoch, idx)
         epoch_metrics = jax.device_get(epoch_metrics)
         avg_loss = _avg(epoch_metrics, 'loss')
         logger.info('epoch [%03d]: elapsed time:%0.2fs, avg loss: %03.3f, '

@@ -136,9 +136,14 @@ class VideoRNNEncoder(nn.Module):
 
 
 class SCDMAttention(nn.Module):
-    """Additive word attention producing per-frame text context [B,T,D_s]."""
+    """Additive word attention producing per-frame text context [B,T,D_s].
+
+    With ``fused=True`` (TPU inference builds) the broadcast-tanh reduce
+    runs as a Pallas kernel that never materializes the [B,T,N,Dh]
+    intermediate (ops/pallas/scdm_fused.py)."""
     hidden_dim: int
     dtype: Any = jnp.float32
+    fused: bool = False
 
     @nn.compact
     def __call__(self, video_feat: jnp.ndarray, sent_feat: jnp.ndarray
@@ -148,6 +153,10 @@ class SCDMAttention(nn.Module):
         video_proj = TDense(self.hidden_dim, dtype=self.dtype,
                             name='W_a')(video_feat)
         w = self.param('w', torch_linear_init, (self.hidden_dim, 1))
+        if self.fused and video_feat.shape[0] % 8 == 0:
+            from ..ops.pallas.scdm_fused import scdm_attention_fused
+            return scdm_attention_fused(video_proj, sent_proj,
+                                        w[:, 0].astype(self.dtype), sent_feat)
         return scdm_attention(video_proj, sent_proj,
                               w[:, 0].astype(self.dtype), sent_feat)
 
@@ -168,7 +177,7 @@ class RNNRecalibrationLayer(nn.Module):
         self.rnn = BiLSTM(self.hidden_dim, self.n_layers, self.dropout,
                           dtype=self.dtype, fused=self.fused, name='rnn')
         self.attention = SCDMAttention(self.hidden_dim * 2, dtype=self.dtype,
-                                       name='attention')
+                                       fused=self.fused, name='attention')
         self.sent_linear = TDense(self.hidden_dim * 2, dtype=self.dtype,
                                   name='sent_linear')
 

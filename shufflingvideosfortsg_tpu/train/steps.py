@@ -71,7 +71,7 @@ def make_gmd_train_step(model, params: Dict[str, Any],
                'start_prob': out['start_prob'], 'end_prob': out['end_prob']}
         return loss, aux
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
                    key: jax.Array) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         aug_key, dropout_key = jax.random.split(key)
@@ -168,7 +168,7 @@ def make_gmd_test_step(model, lg_frame2sec: bool = False):
 
 def make_baseline_train_step(model, params: Dict[str, Any],
                              lg_frame2sec: bool = False):
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch, key):
         def loss_fn(p):
             out = model.apply({'params': p}, batch['video_feat'],

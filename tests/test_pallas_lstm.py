@@ -60,3 +60,17 @@ def test_fused_bilstm_module_matches_scan_module(rng):
                                atol=1e-5, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(cn_f), np.asarray(cn_ref),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_scdm_fused_matches_reference_path(rng):
+    from shufflingvideosfortsg_tpu.ops.attention import scdm_attention
+    from shufflingvideosfortsg_tpu.ops.pallas.scdm_fused import (
+        scdm_attention_fused)
+    B, T, N, Dh, Ds = 16, 20, 7, 24, 24
+    vp = jnp.asarray(rng.randn(B, T, Dh).astype(np.float32))
+    sp = jnp.asarray(rng.randn(B, N, Dh).astype(np.float32))
+    w = jnp.asarray(rng.randn(Dh).astype(np.float32))
+    sf = jnp.asarray(rng.randn(B, N, Ds).astype(np.float32))
+    a = scdm_attention(vp, sp, w, sf)
+    b = scdm_attention_fused(vp, sp, w, sf, block_b=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

@@ -37,14 +37,26 @@ from .vocab import Vocab
 
 
 class FeatureStore:
-    """Directory of per-video ``<vid>.npy`` clip features."""
+    """Per-video clip features: a directory of ``<vid>.npy`` files, or an
+    HDF5 archive (the reference's charades-c3d path, charades.py:74-79,
+    where features live at ``f[vid]['c3d_fc6_features']``)."""
 
-    def __init__(self, feature_dir: str, mmap: bool = True):
-        self.feature_dir = feature_dir
+    def __init__(self, feature_path: str, mmap: bool = True):
+        self.feature_path = feature_path
         self.mmap_mode = 'r' if mmap else None
+        self._h5 = None
+        if os.path.isfile(feature_path) and feature_path.endswith(
+                ('.hdf5', '.h5')):
+            import h5py
+            self._h5 = h5py.File(feature_path, 'r')
 
     def get(self, vid: str) -> np.ndarray:
-        path = os.path.join(self.feature_dir, vid + '.npy')
+        if self._h5 is not None:
+            group = self._h5[vid]
+            if hasattr(group, 'keys') and 'c3d_fc6_features' in group:
+                return group['c3d_fc6_features'][:]
+            return group[:]
+        path = os.path.join(self.feature_path, vid + '.npy')
         return np.load(path, mmap_mode=self.mmap_mode)
 
 

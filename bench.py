@@ -86,9 +86,51 @@ def bench_train(args):
     }))
 
 
+def bench_serve(args):
+    """Multi-query serving: Q sentences x 1 resident long video per step
+    (BASELINE.json configs[4]); block-0 recurrence shared across queries."""
+    from shufflingvideosfortsg_tpu.config import load_config
+    from shufflingvideosfortsg_tpu.models import build_model
+    from shufflingvideosfortsg_tpu.serving import MultiQueryGrounder
+
+    T = args.serve_video_len
+    params = load_config(None, overrides={
+        'video_len': T, 'sent_len': 15, 'video_feature_dim': 1024,
+        'precision': args.precision})
+    model = build_model(params, 'gmd', inference=True)
+    rng = np.random.RandomState(0)
+    N = 15
+    mt = jnp.ones((2, T), jnp.int32)
+    mn = jnp.ones((2, N), jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((2, N, 300)), mn,
+                           jnp.zeros((2, T, 1024)), mt,
+                           jnp.zeros((2, T, 1024)), mt,
+                           mt, mt, mt, mt, mt, mt)
+    g = MultiQueryGrounder(params, variables['params'],
+                           query_batch=args.batch)
+    video = rng.randn(T, 1024).astype(np.float32)
+    queries = rng.randn(args.batch, N, 300).astype(np.float32)
+    g.ground(video, queries)  # compile + warm
+    for _ in range(args.warmup):
+        g.ground(None, queries)
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        pred, score = g.ground(None, queries)
+    dt = time.perf_counter() - t0  # ground() returns host arrays (synced)
+    qps = args.iters * args.batch / dt
+    print(json.dumps({
+        'metric': f'multi_query_serving_queries_per_sec_T{T}',
+        'value': round(qps, 1),
+        'unit': 'queries/s',
+        'vs_baseline': round(qps / BASELINE_SENT_PER_S, 2),
+    }))
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument('--mode', default='eval', choices=['eval', 'train'])
+    ap.add_argument('--mode', default='eval', choices=['eval', 'train', 'serve'])
+    ap.add_argument('--serve-video-len', type=int, default=1024)
     ap.add_argument('--batch', type=int, default=512)
     ap.add_argument('--iters', type=int, default=30)
     ap.add_argument('--warmup', type=int, default=5)
@@ -98,6 +140,9 @@ def main():
     args = ap.parse_args()
     if args.mode == 'train':
         bench_train(args)
+        return
+    if args.mode == 'serve':
+        bench_serve(args)
         return
 
     from shufflingvideosfortsg_tpu.config import load_config

@@ -27,7 +27,7 @@ class Baseline(nn.Module):
     video_if_mask: bool = False
     dropout: float = 0.5
     dtype: Any = jnp.float32
-    fused_inference: bool = False
+    fused_inference: Any = False
 
     def setup(self):
         self.sentence_encoder = SentenceRNNEncoder(

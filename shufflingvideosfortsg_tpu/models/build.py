@@ -16,12 +16,19 @@ def _dtype(params: Dict[str, Any]):
         'bf16', 'bfloat16') else jnp.float32
 
 
-def _fused(params: Dict[str, Any], inference: bool) -> bool:
+def _fused(params: Dict[str, Any], inference: bool):
+    """Pallas recurrence mode: 'eval' kernel for inference builds,
+    custom-VJP 'train' kernel for training builds (both TPU-only; the
+    module falls back to lax.scan per-shape when over VMEM budget)."""
     mode = params.get('fused_inference', 'auto')
     if mode == 'auto':
         import jax
-        return inference and jax.default_backend() == 'tpu'
-    return bool(mode) and inference
+        if jax.default_backend() != 'tpu':
+            return False
+        return 'eval' if inference else 'train'
+    if not mode:
+        return False
+    return 'eval' if inference else 'train'
 
 
 def model_config_from_params(params: Dict[str, Any],

@@ -95,7 +95,7 @@ class SentenceRNNEncoder(nn.Module):
     n_layers: int
     dropout: float
     dtype: Any = jnp.float32
-    fused: bool = False
+    fused: Any = False
 
     @property
     def textual_dim(self) -> int:
@@ -120,7 +120,7 @@ class VideoRNNEncoder(nn.Module):
     n_layers: int
     dropout: float
     dtype: Any = jnp.float32
-    fused: bool = False
+    fused: Any = False
 
     @property
     def visual_dim(self) -> int:
@@ -143,7 +143,7 @@ class SCDMAttention(nn.Module):
     intermediate (ops/pallas/scdm_fused.py)."""
     hidden_dim: int
     dtype: Any = jnp.float32
-    fused: bool = False
+    fused: Any = False
 
     @nn.compact
     def __call__(self, video_feat: jnp.ndarray, sent_feat: jnp.ndarray
@@ -171,7 +171,7 @@ class RNNRecalibrationLayer(nn.Module):
     ca_activ: str
     dropout: float
     dtype: Any = jnp.float32
-    fused: bool = False
+    fused: Any = False
 
     def setup(self):
         self.rnn = BiLSTM(self.hidden_dim, self.n_layers, self.dropout,
@@ -212,7 +212,7 @@ class QueryAwareEncoder(nn.Module):
     dropout: float
     ca_activ: str = 'sigmoid'
     dtype: Any = jnp.float32
-    fused: bool = False
+    fused: Any = False
 
     @property
     def visual_dim(self) -> int:
@@ -501,7 +501,7 @@ class VideoTextSemanticMatch(nn.Module):
     predict_activation: str
     dropout: float
     dtype: Any = jnp.float32
-    fused: bool = False
+    fused: Any = False
 
     @nn.compact
     def __call__(self, video_feat, query_feat, video_mask=None,

@@ -46,8 +46,8 @@ class GMD(nn.Module):
     # regularization / dtype
     dropout: float = 0.5
     dtype: Any = jnp.float32
-    # inference-only fused Pallas LSTM recurrence (eval/serving builds)
-    fused_inference: bool = False
+    # Pallas fused LSTM recurrence: False | 'eval' | 'train'
+    fused_inference: Any = False
 
     def setup(self):
         self.sentence_encoder = SentenceRNNEncoder(

@@ -116,6 +116,190 @@ def _lstm_kernel(xw_hbm, w_hh_ref, out_hbm, hc_out_ref,
     hc_out_ref[1] = c_ref[:]
 
 
+def _lstm_kernel_train(xw_hbm, w_hh_ref, out_hbm, c_hbm, hc_out_ref,
+                       h_ref, c_ref, xw_buf, out_buf, c_buf,
+                       in_sem, out_sem, c_sem, T: int):
+    """Forward variant that also streams per-step cell states to HBM (the
+    residuals the backward kernel needs)."""
+    H = h_ref.shape[-1]
+
+    def xw_dma(slot, t):
+        return pltpu.make_async_copy(xw_hbm.at[t], xw_buf.at[slot],
+                                     in_sem.at[slot])
+
+    def out_dma(slot, t):
+        return pltpu.make_async_copy(out_buf.at[slot], out_hbm.at[t],
+                                     out_sem.at[slot])
+
+    def c_dma(slot, t):
+        return pltpu.make_async_copy(c_buf.at[slot], c_hbm.at[t],
+                                     c_sem.at[slot])
+
+    h_ref[:] = jnp.zeros_like(h_ref)
+    c_ref[:] = jnp.zeros_like(c_ref)
+    for k in range(min(NBUF - 1, T)):
+        xw_dma(k, k).start()
+
+    def step(t, _):
+        slot = jax.lax.rem(t, NBUF)
+
+        @pl.when(t + NBUF - 1 < T)
+        def _():
+            xw_dma(jax.lax.rem(t + NBUF - 1, NBUF), t + NBUF - 1).start()
+
+        xw_dma(slot, t).wait()
+        oslot = jax.lax.rem(t, 2)
+
+        @pl.when(t >= 2)
+        def _():
+            out_dma(oslot, t - 2).wait()
+            c_dma(oslot, t - 2).wait()
+
+        gates = jax.lax.dot_general(
+            h_ref[:].astype(w_hh_ref.dtype), w_hh_ref[:],
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        gates = gates + xw_buf[slot].astype(jnp.float32)
+        i = jax.nn.sigmoid(gates[..., :H])
+        f = jax.nn.sigmoid(gates[..., H:2 * H])
+        g = jnp.tanh(gates[..., 2 * H:3 * H])
+        o = jax.nn.sigmoid(gates[..., 3 * H:])
+        c_new = f * c_ref[:] + i * g
+        h_new = o * jnp.tanh(c_new)
+        h_ref[:] = h_new
+        c_ref[:] = c_new
+        out_buf[oslot] = h_new.astype(out_buf.dtype)
+        c_buf[oslot] = c_new.astype(c_buf.dtype)
+        out_dma(oslot, t).start()
+        c_dma(oslot, t).start()
+        return 0
+
+    jax.lax.fori_loop(0, T, step, 0)
+    if T >= 2:
+        out_dma(jax.lax.rem(T - 2, 2), T - 2).wait()
+        c_dma(jax.lax.rem(T - 2, 2), T - 2).wait()
+    out_dma(jax.lax.rem(T - 1, 2), T - 1).wait()
+    c_dma(jax.lax.rem(T - 1, 2), T - 1).wait()
+    hc_out_ref[0] = h_ref[:]
+    hc_out_ref[1] = c_ref[:]
+
+
+def _lstm_bwd_kernel(xw_hbm, w_hh_ref, h_hbm, c_hbm, dout_hbm, dhc_ref,
+                     dxw_hbm, dw_out_ref,
+                     dh_ref, dc_ref, dw_acc,
+                     xw_buf, h_buf, c_buf, cp_buf, dout_buf, dxw_buf,
+                     in_sems, dxw_sem, T: int):
+    """Reverse-time backward pass.
+
+    Streams xw[t], h[t-1], c[t], c[t-1], dout[t] in; writes dxw[t]; keeps
+    dh/dc carries and the dW_hh accumulator in VMEM. Gates are recomputed
+    from xw[t] + h[t-1] @ W (cheaper than storing [T,2,B,4H] residuals).
+    """
+    H = dh_ref.shape[-1]
+
+    def dma_in(buf, hbm, sem_idx, slot, t):
+        return pltpu.make_async_copy(hbm.at[t], buf.at[slot],
+                                     in_sems.at[sem_idx, slot])
+
+    def start_loads(slot, t):
+        # t indexes the timestep being processed
+        dma_in(xw_buf, xw_hbm, 0, slot, t).start()
+        dma_in(c_buf, c_hbm, 1, slot, t).start()
+        dma_in(dout_buf, dout_hbm, 2, slot, t).start()
+        # h[t-1] and c[t-1] don't exist at t == 0 (zeros selected in-step)
+        @pl.when(t >= 1)
+        def _():
+            dma_in(h_buf, h_hbm, 3, slot, t - 1).start()
+            dma_in(cp_buf, c_hbm, 4, slot, t - 1).start()
+
+    def wait_loads(slot, t):
+        dma_in(xw_buf, xw_hbm, 0, slot, t).wait()
+        dma_in(c_buf, c_hbm, 1, slot, t).wait()
+        dma_in(dout_buf, dout_hbm, 2, slot, t).wait()
+        @pl.when(t >= 1)
+        def _():
+            dma_in(h_buf, h_hbm, 3, slot, t - 1).wait()
+            dma_in(cp_buf, c_hbm, 4, slot, t - 1).wait()
+
+    def dxw_dma(slot, t):
+        return pltpu.make_async_copy(dxw_buf.at[slot], dxw_hbm.at[t],
+                                     dxw_sem.at[slot])
+
+    dh_ref[:] = dhc_ref[0]
+    dc_ref[:] = dhc_ref[1]
+    dw_acc[:] = jnp.zeros_like(dw_acc)
+    start_loads(jax.lax.rem(T - 1, 2), T - 1)
+
+    def step(k, _):
+        t = T - 1 - k
+        slot = jax.lax.rem(t, 2)
+
+        @pl.when(t - 1 >= 0)
+        def _():
+            start_loads(jax.lax.rem(t - 1, 2), t - 1)
+
+        wait_loads(slot, t)
+
+        # at t == 0 the previous state is the zero initial state (the slot
+        # holds stale data from step t+2's load)
+        is_first = (t == 0)
+        h_prev = jnp.where(is_first, 0.0, h_buf[slot].astype(jnp.float32))
+        c_prev = jnp.where(is_first, 0.0, cp_buf[slot].astype(jnp.float32))
+        c_t = c_buf[slot].astype(jnp.float32)
+
+        # recompute gates
+        gates = jax.lax.dot_general(
+            h_prev.astype(w_hh_ref.dtype), w_hh_ref[:],
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        gates = gates + xw_buf[slot].astype(jnp.float32)
+        i = jax.nn.sigmoid(gates[..., :H])
+        f = jax.nn.sigmoid(gates[..., H:2 * H])
+        g = jnp.tanh(gates[..., 2 * H:3 * H])
+        o = jax.nn.sigmoid(gates[..., 3 * H:])
+
+        dh = dh_ref[:] + dout_buf[slot].astype(jnp.float32)
+        tc = jnp.tanh(c_t)
+        do = dh * tc
+        dc = dc_ref[:] + dh * o * (1.0 - tc * tc)
+        di = dc * g
+        dg = dc * i
+        df = dc * c_prev
+        dgates = jnp.concatenate([
+            di * i * (1.0 - i),
+            df * f * (1.0 - f),
+            dg * (1.0 - g * g),
+            do * o * (1.0 - o),
+        ], axis=-1)  # [2, B, 4H]
+
+        @pl.when(k >= 2)
+        def _():
+            dxw_dma(slot, t + 2).wait()
+
+        dxw_buf[slot] = dgates.astype(dxw_buf.dtype)
+        dxw_dma(slot, t).start()
+
+        # dh_{t-1} = dgates @ W^T; dW += h_{t-1}^T dgates
+        dgates_c = dgates.astype(w_hh_ref.dtype)
+        dh_prev = jax.lax.dot_general(
+            dgates_c, w_hh_ref[:],
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        dw_acc[:] = dw_acc[:] + jax.lax.dot_general(
+            h_prev.astype(w_hh_ref.dtype), dgates_c,
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        dh_ref[:] = dh_prev
+        dc_ref[:] = dc * f
+        return 0
+
+    jax.lax.fori_loop(0, T, step, 0)
+    if T >= 2:
+        dxw_dma(jax.lax.rem(1, 2), 1).wait()
+    dxw_dma(jax.lax.rem(0, 2), 0).wait()
+    dw_out_ref[:] = dw_acc[:]
+
+
 @functools.partial(jax.jit, static_argnames=('interpret',))
 def lstm_scan_pallas(xw: jnp.ndarray, w_hh: jnp.ndarray,
                      interpret: bool = False
@@ -164,3 +348,110 @@ def lstm_scan_pallas(xw: jnp.ndarray, w_hh: jnp.ndarray,
         interpret=interpret,
     )(xw, w_hh)
     return out, hc[0], hc[1]
+
+
+@functools.partial(jax.jit, static_argnames=('interpret',))
+def lstm_scan_pallas_train(xw, w_hh, interpret: bool = False):
+    """Forward that also returns the per-step cell states (residuals for
+    the backward kernel). Returns (out, c_seq, h_T, c_T)."""
+    T, two, B, H4 = xw.shape
+    H = H4 // 4
+    out, c_seq, hc = pl.pallas_call(
+        functools.partial(_lstm_kernel_train, T=T),
+        out_shape=(
+            jax.ShapeDtypeStruct((T, 2, B, H), xw.dtype),
+            jax.ShapeDtypeStruct((T, 2, B, H), jnp.float32),
+            jax.ShapeDtypeStruct((2, 2, B, H), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, B, H), jnp.float32),       # h
+            pltpu.VMEM((2, B, H), jnp.float32),       # c
+            pltpu.VMEM((NBUF, 2, B, H4), xw.dtype),   # xw pipeline
+            pltpu.VMEM((2, 2, B, H), xw.dtype),       # out staging
+            pltpu.VMEM((2, 2, B, H), jnp.float32),    # c staging
+            pltpu.SemaphoreType.DMA((NBUF,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=int(100e6)),
+        interpret=interpret,
+    )(xw, w_hh)
+    return out, c_seq, hc[0], hc[1]
+
+
+@functools.partial(jax.jit, static_argnames=('interpret',))
+def lstm_scan_pallas_bwd(xw, w_hh, out_h, c_seq, d_out, d_hT, d_cT,
+                         interpret: bool = False):
+    """Reverse-time backward kernel. Returns (d_xw [T,2,B,4H] f32,
+    d_w_hh [2,H,4H] f32)."""
+    T, two, B, H4 = xw.shape
+    H = H4 // 4
+    dhc = jnp.stack([d_hT.astype(jnp.float32), d_cT.astype(jnp.float32)], 0)
+    dxw, dw = pl.pallas_call(
+        functools.partial(_lstm_bwd_kernel, T=T),
+        out_shape=(
+            jax.ShapeDtypeStruct((T, 2, B, H4), jnp.float32),
+            jax.ShapeDtypeStruct((2, H, H4), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),   # xw
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w_hh
+            pl.BlockSpec(memory_space=pltpu.ANY),   # out_h
+            pl.BlockSpec(memory_space=pltpu.ANY),   # c_seq
+            pl.BlockSpec(memory_space=pltpu.ANY),   # d_out
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # dhc
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.ANY),   # dxw
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # dw
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, B, H), jnp.float32),       # dh carry
+            pltpu.VMEM((2, B, H), jnp.float32),       # dc carry
+            pltpu.VMEM((2, H, H4), jnp.float32),      # dW accumulator
+            pltpu.VMEM((2, 2, B, H4), xw.dtype),      # xw slots
+            pltpu.VMEM((2, 2, B, H), out_h.dtype),    # h[t-1] slots
+            pltpu.VMEM((2, 2, B, H), jnp.float32),    # c[t] slots
+            pltpu.VMEM((2, 2, B, H), jnp.float32),    # c[t-1] slots
+            pltpu.VMEM((2, 2, B, H), d_out.dtype),    # dout slots
+            pltpu.VMEM((2, 2, B, H4), jnp.float32),   # dxw staging
+            pltpu.SemaphoreType.DMA((5, 2)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=int(110e6)),
+        interpret=interpret,
+    )(xw, w_hh, out_h, c_seq, d_out, dhc)
+    return dxw, dw
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def lstm_scan_fused(xw: jnp.ndarray, w_hh: jnp.ndarray):
+    """Differentiable fused recurrence: same contract as lstm_scan_pallas
+    (out, h_T, c_T) with a Pallas backward pass (custom VJP)."""
+    out, _, hT, cT = lstm_scan_pallas_train(xw, w_hh)
+    return out, hT, cT
+
+
+def _fused_fwd(xw, w_hh):
+    out, c_seq, hT, cT = lstm_scan_pallas_train(xw, w_hh)
+    return (out, hT, cT), (xw, w_hh, out, c_seq)
+
+
+def _fused_bwd(residuals, cotangents):
+    xw, w_hh, out, c_seq = residuals
+    d_out, d_hT, d_cT = cotangents
+    dxw, dw = lstm_scan_pallas_bwd(xw, w_hh, out, c_seq,
+                                   d_out.astype(out.dtype), d_hT, d_cT)
+    return dxw.astype(xw.dtype), dw.astype(w_hh.dtype)
+
+
+lstm_scan_fused.defvjp(_fused_fwd, _fused_bwd)

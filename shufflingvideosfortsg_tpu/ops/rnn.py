@@ -88,7 +88,10 @@ class BiLSTM(nn.Module):
     dropout: float = 0.0
     dtype: Any = jnp.float32
     unroll: int = 8
-    fused: bool = False  # inference-only Pallas fused-scan kernel
+    # Pallas fused-scan recurrence: False/None = lax.scan; True/'eval' =
+    # inference kernel (no grad); 'train' = custom-VJP kernel (falls back
+    # to lax.scan when the shape exceeds the kernel's VMEM budget)
+    fused: Any = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True
@@ -110,7 +113,19 @@ class BiLSTM(nn.Module):
             xw = xw + b[:, None, None, :].astype(self.dtype)
             xw = jnp.transpose(xw, (2, 0, 1, 3))  # [T, 2, B, 4H]
 
-            if self.fused:
+            mode = self.fused
+            if mode == 'train':
+                # backward-kernel VMEM budget: ~11MB at 1MB per-direction
+                # dxw staging slot (see pallas/lstm_scan.py)
+                if B * 4 * H * 4 > (1 << 20):
+                    mode = False
+            if mode == 'train':
+                from .pallas.lstm_scan import lstm_scan_fused
+                out, h_f, c_f = lstm_scan_fused(xw, w_hh.astype(self.dtype))
+                out = out.astype(self.dtype)
+                h_f = h_f.astype(self.dtype)
+                c_f = c_f.astype(self.dtype)
+            elif mode in (True, 'eval'):
                 from .pallas.lstm_scan import lstm_scan_pallas
                 out, h_f, c_f = lstm_scan_pallas(xw, w_hh.astype(self.dtype))
                 out = out.astype(self.dtype)

@@ -74,3 +74,51 @@ def test_scdm_fused_matches_reference_path(rng):
     a = scdm_attention(vp, sp, w, sf)
     b = scdm_attention_fused(vp, sp, w, sf, block_b=8, interpret=True)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_fused_train_gradients_match_scan(rng):
+    """custom-VJP fused kernel: gradients equal to lax.scan autodiff."""
+    B, T, D, H = 4, 10, 12, 8
+    x = jnp.asarray(rng.randn(B, T, D).astype(np.float32))
+    ref = BiLSTM(hidden_size=H, num_layers=2)
+    variables = ref.init(jax.random.PRNGKey(0), x)
+
+    def loss(params, m):
+        o, hn, cn = m.apply(params, x)
+        return jnp.sum(o ** 2) + jnp.sum(hn ** 2) + jnp.sum(cn ** 2)
+
+    g_ref = jax.grad(lambda p: loss(p, ref))(variables)
+    tr = BiLSTM(hidden_size=H, num_layers=2, fused='train')
+    with pltpu.force_tpu_interpret_mode():
+        v_tr = loss(variables, tr)
+        g_tr = jax.grad(lambda p: loss(p, tr))(variables)
+    assert float(v_tr) == pytest.approx(float(loss(variables, ref)), rel=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_tr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-6, rtol=1e-4)
+
+
+def test_fused_train_vjp_kernel_direct(rng):
+    from shufflingvideosfortsg_tpu.ops.pallas.lstm_scan import lstm_scan_fused
+
+    T, B, H = 9, 3, 8
+    xw = jnp.asarray(rng.randn(T, 2, B, 4 * H).astype(np.float32))
+    w_hh = jnp.asarray((rng.randn(2, H, 4 * H) * 0.1).astype(np.float32))
+    co = jnp.asarray(rng.randn(T, 2, B, H).astype(np.float32))
+
+    def loss_fused(xw, w):
+        o, h, c = lstm_scan_fused(xw, w)
+        return jnp.sum(o * co) + jnp.sum(h) + jnp.sum(c)
+
+    def loss_ref(xw, w):
+        o, h, c = scan_oracle(xw, w, H)
+        return jnp.sum(o * co) + jnp.sum(h) + jnp.sum(c)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1))(xw, w_hh)
+    with pltpu.force_tpu_interpret_mode():
+        g_f = jax.grad(loss_fused, argnums=(0, 1))(xw, w_hh)
+    np.testing.assert_allclose(np.asarray(g_f[0]), np.asarray(g_ref[0]),
+                               atol=5e-6, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(g_f[1]), np.asarray(g_ref[1]),
+                               atol=5e-6, rtol=1e-4)

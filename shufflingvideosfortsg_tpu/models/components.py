@@ -154,9 +154,12 @@ class SCDMAttention(nn.Module):
                             name='W_a')(video_feat)
         w = self.param('w', torch_linear_init, (self.hidden_dim, 1))
         if self.fused and video_feat.shape[0] % 8 == 0:
-            from ..ops.pallas.scdm_fused import scdm_attention_fused
-            return scdm_attention_fused(video_proj, sent_proj,
-                                        w[:, 0].astype(self.dtype), sent_feat)
+            from ..ops.pallas.scdm_fused import (
+                scdm_attention_fused, scdm_attention_fused_trainable)
+            fn = (scdm_attention_fused_trainable if self.fused == 'train'
+                  else scdm_attention_fused)
+            return fn(video_proj, sent_proj,
+                      w[:, 0].astype(self.dtype), sent_feat)
         return scdm_attention(video_proj, sent_proj,
                               w[:, 0].astype(self.dtype), sent_feat)
 

@@ -20,6 +20,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..attention import scdm_attention
+
 
 def _scdm_kernel(vp_ref, sp_ref, w_ref, sf_ref, out_ref, *, N: int):
     wa = vp_ref[:]  # [Bb, T, Dh]
@@ -37,35 +39,70 @@ def _scdm_kernel(vp_ref, sp_ref, w_ref, sf_ref, out_ref, *, N: int):
     out_ref[:] = C.astype(out_ref.dtype)
 
 
+def _largest_divisor_leq(n: int, cap: int) -> int:
+    for d in range(min(n, cap), 0, -1):
+        if n % d == 0:
+            return d
+    return 1
+
+
 def scdm_attention_fused(video_proj: jnp.ndarray, sent_proj: jnp.ndarray,
                          w: jnp.ndarray, sent_feat: jnp.ndarray,
-                         block_b: int = 8,
+                         block_b: int = 8, block_t: int = 128,
                          interpret: bool = False) -> jnp.ndarray:
     """Drop-in for scdm_attention when B % block_b == 0 (caller falls back
     to the jnp path otherwise).
 
     video_proj: [B, T, Dh] (= W_a v + b); sent_proj: [B, N, Dh] (= W_s s);
     w: [Dh]; sent_feat: [B, N, Ds]. Returns C [B, T, Ds].
+
+    The grid tiles both batch and time (the word softmax is per (b, t), so
+    time tiling is exact); long serving videos (T in the thousands) stay
+    within VMEM.
     """
     B, T, Dh = video_proj.shape
     N = sent_proj.shape[1]
     Ds = sent_feat.shape[-1]
     assert B % block_b == 0
-    grid = (B // block_b,)
+    bt = _largest_divisor_leq(T, block_t)
+    grid = (B // block_b, T // bt)
     return pl.pallas_call(
         functools.partial(_scdm_kernel, N=N),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((block_b, T, Dh), lambda i: (i, 0, 0),
+            pl.BlockSpec((block_b, bt, Dh), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_b, N, Dh), lambda i: (i, 0, 0),
+            pl.BlockSpec((block_b, N, Dh), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_b, N, Ds), lambda i: (i, 0, 0),
+            pl.BlockSpec((block_b, N, Ds), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((block_b, T, Ds), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((block_b, bt, Ds), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, T, Ds), sent_feat.dtype),
         interpret=interpret,
     )(video_proj, sent_proj, w, sent_feat)
+
+
+@jax.custom_vjp
+def scdm_attention_fused_trainable(video_proj, sent_proj, w, sent_feat):
+    """Differentiable variant: Pallas forward, XLA backward.
+
+    The backward re-derives gradients through the jnp formulation (training
+    batches are small, so the materialized intermediate is cheap there); the
+    expensive forward stays fused."""
+    return scdm_attention_fused(video_proj, sent_proj, w, sent_feat)
+
+
+def _scdm_fwd(video_proj, sent_proj, w, sent_feat):
+    out = scdm_attention_fused(video_proj, sent_proj, w, sent_feat)
+    return out, (video_proj, sent_proj, w, sent_feat)
+
+
+def _scdm_bwd(residuals, g):
+    _, vjp = jax.vjp(scdm_attention, *residuals)
+    return vjp(g)
+
+
+scdm_attention_fused_trainable.defvjp(_scdm_fwd, _scdm_bwd)

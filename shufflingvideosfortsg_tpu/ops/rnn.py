@@ -42,6 +42,20 @@ def lstm_uniform_init(hidden_size: int, double_draw: bool = False):
     return init
 
 
+def _bwd_kernel_vmem_bytes(B: int, H: int, itemsize: int) -> int:
+    """VMEM footprint estimate of the fused backward kernel (see
+    pallas/lstm_scan.py scratch shapes) — used to fall back to lax.scan
+    when a shape wouldn't fit the ~16MB budget."""
+    return (2 * (2 * B * 4 * H * itemsize)     # xw slots
+            + 2 * (2 * B * 4 * H * 4)          # dxw staging (f32)
+            + 2 * (2 * B * H * itemsize)       # h[t-1] slots
+            + 4 * (2 * B * H * 4)              # c[t], c[t-1] slots
+            + 2 * (2 * B * H * itemsize)       # dout slots
+            + 2 * (2 * B * H * 4)              # dh/dc carries
+            + 2 * (2 * H * 4 * H * 4)          # dW accumulator + output
+            + (2 * H * 4 * H * itemsize))      # w_hh resident
+
+
 def _lstm_scan(xw: jnp.ndarray, w_hh: jnp.ndarray, h0: jnp.ndarray,
                c0: jnp.ndarray, unroll: int = 8
                ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
@@ -114,11 +128,12 @@ class BiLSTM(nn.Module):
             xw = jnp.transpose(xw, (2, 0, 1, 3))  # [T, 2, B, 4H]
 
             mode = self.fused
+            if mode and B % 8 != 0:
+                mode = False  # Mosaic sublane tiling needs aligned batch
             if mode == 'train':
-                # backward-kernel VMEM budget: ~11MB at 1MB per-direction
-                # dxw staging slot (see pallas/lstm_scan.py)
-                if B * 4 * H * 4 > (1 << 20):
-                    mode = False
+                itemsize = jnp.dtype(self.dtype).itemsize
+                if _bwd_kernel_vmem_bytes(B, H, itemsize) > 14 * (1 << 20):
+                    mode = False  # over VMEM budget -> differentiable scan
             if mode == 'train':
                 from .pallas.lstm_scan import lstm_scan_fused
                 out, h_f, c_f = lstm_scan_fused(xw, w_hh.astype(self.dtype))

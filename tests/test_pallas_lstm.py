@@ -122,3 +122,76 @@ def test_fused_train_vjp_kernel_direct(rng):
                                atol=5e-6, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(g_f[1]), np.asarray(g_ref[1]),
                                atol=5e-6, rtol=1e-4)
+
+
+def test_gmd_train_step_fused_matches_scan(rng):
+    """Full GMD train step: fused='train' model produces the same losses
+    and gradient step as the lax.scan model (interpret mode)."""
+    from shufflingvideosfortsg_tpu.models import GMD
+    from shufflingvideosfortsg_tpu.train.state import (create_train_state,
+                                                       make_optimizer)
+    from shufflingvideosfortsg_tpu.train.steps import make_gmd_train_step
+
+    T, N, DV, B = 12, 5, 16, 4
+    kwargs = dict(sent_hidden=8, sent_layers=1, video_hidden=8,
+                  video_layers=1, nblocks=2, cross_name='vs',
+                  predictor_name='mlp', mlp_hidden_dim=8, span_hidden_dim=8,
+                  video_if_mask=False, dropout=0.0, m_temp='none',
+                  m_pred_hidden=16, m_pred_activ='relu')
+    opt = dict(optim='adam', lr=1e-3, weight_decay=0.0, lr_schd='ms',
+               lr_step=[100], lr_decay_rate=0.1, grad_clip=False,
+               loss_m1_lambda=1.0, loss_m2_lambda=1.0, loss_disc_lambda=1.0,
+               on_device_aug=True)
+
+    s = rng.randint(0, T - 5, B).astype(np.int32)
+    e = (s + 2).astype(np.int32)
+    ts = np.arange(T)[None]
+    batch = {
+        'sent_feat': jnp.asarray(rng.randn(B, N, 300), jnp.float32),
+        'sent_mask': jnp.ones((B, N), jnp.int32),
+        'video_feat': jnp.asarray(rng.randn(B, T, DV), jnp.float32),
+        'video_mask': jnp.ones((B, T), jnp.int32),
+        'nfeats': jnp.full((B,), T, jnp.int32),
+        'framestps': jnp.asarray(np.stack([s, e], -1)),
+        'timestps': jnp.asarray(np.stack([s, e], -1), jnp.float32),
+        'duration': jnp.full((B,), float(T), jnp.float32),
+        'temporal_labels': jnp.asarray(
+            ((ts >= s[:, None]) & (ts <= e[:, None])).astype(np.int32)),
+        'fore_masks': jnp.asarray((ts <= s[:, None]).astype(np.int32)),
+        'back_masks': jnp.asarray((ts >= e[:, None]).astype(np.int32)),
+    }
+
+    ref_model = GMD(**kwargs)
+    mt = jnp.ones((B, T), jnp.int32)
+    variables = ref_model.init(
+        jax.random.PRNGKey(0), batch['sent_feat'], batch['sent_mask'],
+        batch['video_feat'], mt, batch['video_feat'], mt,
+        mt, mt, mt, mt, mt, mt)
+
+    results = []
+    for fused in (False, 'train'):
+        model = GMD(fused_inference=fused, **kwargs)
+        tx = make_optimizer(opt, 100)
+        # fresh buffers: the train step donates its state
+        params0 = jax.tree_util.tree_map(jnp.array, variables['params'])
+        state = create_train_state(params0, tx)
+        step = make_gmd_train_step(model, opt)
+        ctx = pltpu.force_tpu_interpret_mode() if fused else _nullcontext()
+        with ctx:
+            new_state, m = step(state, batch, jax.random.PRNGKey(7))
+        results.append((jax.device_get(m), jax.device_get(new_state.params)))
+    (m0, p0), (m1, p1) = results
+    for k in ('loss', 'loss_g', 'loss_intra', 'loss_inter', 'loss_d'):
+        assert float(m0[k]) == pytest.approx(float(m1[k]), rel=1e-5), k
+    for a, b in zip(jax.tree_util.tree_leaves(p0),
+                    jax.tree_util.tree_leaves(p1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=1e-3)
+
+
+class _nullcontext:
+    def __enter__(self):
+        return None
+
+    def __exit__(self, *a):
+        return False

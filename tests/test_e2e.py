@@ -120,7 +120,9 @@ def test_sharded_equals_single_device(rng):
     results = []
     for ndev in (1, 8):
         mesh = Mesh(np.asarray(jax.devices()[:ndev]), ('data',))
-        state = create_train_state(variables['params'], tx)
+        # fresh buffers each round: the train step donates its state
+        params0 = jax.tree_util.tree_map(jnp.array, variables['params'])
+        state = create_train_state(params0, tx)
         state = jax.device_put(state, NamedSharding(mesh, P()))
         jb = {k: jax.device_put(np.asarray(v), NamedSharding(mesh, P('data')))
               for k, v in batch.items()}

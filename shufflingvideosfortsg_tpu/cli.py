@@ -27,7 +27,8 @@ from .config import DEFAULTS, load_config
 from .data.pipeline import BatchLoader, SentenceGroundingDataset
 from .eval.iou import retrieval_eval
 from .models import build_model
-from .parallel.mesh import create_mesh, replicate_tree, shard_batch
+from .parallel.mesh import (create_mesh, device_prefetch, replicate_tree,
+                            shard_batch)
 from .train.state import create_train_state, make_optimizer
 from .train.steps import (make_baseline_eval_step, make_baseline_train_step,
                           make_gmd_test_step, make_gmd_train_step,
@@ -201,10 +202,11 @@ def main_train(params: Dict[str, Any]) -> Dict[str, Any]:
     for step_epoch in range(params['epoch']):
         t0 = time.time()
         epoch_metrics = []
-        for idx, batch in enumerate(train_loader):
+        for idx, (batch, sb) in enumerate(
+                device_prefetch(train_loader, mesh,
+                                params.get('host_prefetch', 2))):
             t_b = time.time()
             key, sk = jax.random.split(key)
-            sb = shard_batch(mesh, batch)
             state, metrics = train_step(state, sb, sk)
             epoch_metrics.append(metrics)
             if params['batch_log_interval'] != -1 and \
@@ -370,10 +372,11 @@ def main_train_baseline(params: Dict[str, Any]) -> Dict[str, Any]:
     for step_epoch in range(params['epoch']):
         t0 = time.time()
         epoch_metrics = []
-        for idx, batch in enumerate(train_loader):
+        for idx, (batch, sb) in enumerate(
+                device_prefetch(train_loader, mesh,
+                                params.get('host_prefetch', 2))):
             t_b = time.time()
             key, sk = jax.random.split(key)
-            sb = shard_batch(mesh, batch)
             state, metrics = train_step(state, sb, sk)
             epoch_metrics.append(metrics)
             if params['batch_log_interval'] != -1 and \

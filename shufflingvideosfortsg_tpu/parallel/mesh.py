@@ -55,3 +55,18 @@ def shard_batch(mesh: Mesh, batch: Dict[str, Any]) -> Dict[str, Any]:
 
 def replicate_tree(mesh: Mesh, tree):
     return jax.device_put(tree, replicated_sharding(mesh))
+
+
+def device_prefetch(loader, mesh: Mesh, size: int = 2):
+    """Iterate (host_batch, device_batch) pairs with ``size`` batches'
+    host->device transfers in flight ahead of compute (device_put is
+    async, so enqueueing the next transfer overlaps the current step)."""
+    from collections import deque
+
+    buf: "deque" = deque()
+    for batch in loader:
+        buf.append((batch, shard_batch(mesh, batch)))
+        if len(buf) > size:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()

@@ -19,6 +19,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ANNO = "/root/reference/data/Charades-CD/charades_val.json"
 
 
+@pytest.fixture(scope="module", autouse=True)
+def build_native():
+    """Build the featpack shared library if the toolchain is available;
+    the readers fall back to numpy when it isn't."""
+    subprocess.run(["make", "-C", os.path.join(REPO, "native")],
+                   capture_output=True)
+
+
 @pytest.fixture(scope="module")
 def packed(tmp_path_factory):
     if not os.path.isfile(ANNO):

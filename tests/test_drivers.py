@@ -1,0 +1,89 @@
+"""In-process driver tests: the full main_* flows on tiny configurations
+(real annotations + synthetic features, CPU)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from shufflingvideosfortsg_tpu import cli
+from shufflingvideosfortsg_tpu.config import load_config
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ANNO = "/root/reference/data/Charades-CD/charades_val.json"
+
+
+@pytest.fixture(scope="module")
+def tiny_env(tmp_path_factory):
+    if not os.path.isfile(ANNO):
+        pytest.skip("reference annotations unavailable")
+    feat_dir = str(tmp_path_factory.mktemp("drv_feats"))
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools/make_synth_features.py"),
+         "--dataset", "charades", "--out", feat_dir, "--annotations", ANNO,
+         "--dim", "32"], check=True, capture_output=True)
+    runs = str(tmp_path_factory.mktemp("drv_runs"))
+
+    def make_params(alias, **over):
+        params = load_config(
+            os.path.join(REPO, "cfgs/charades_cd_i3d.yml"),
+            data_root="/root/reference/data")
+        params.update(dict(
+            alias=alias, runs=runs, debug=True,
+            train_data=ANNO, val_data=ANNO, test_data=ANNO,
+            train_featpath=feat_dir, valid_featpath=feat_dir,
+            test_featpath=feat_dir,
+            video_feature_dim=32, video_len=24, sent_len=8,
+            sent_rnn_hiddendim=8, video_rnn_hiddendim=8,
+            mlp_hidden_dim=8, span_hidden_dim=8, m_pred_hidden=16,
+            batch_size=[8, 8, 8], epoch=1, batch_log_interval=-1,
+            start_from=None))
+        params.update(over)
+        return params, runs
+
+    return make_params
+
+
+def test_train_and_test_baseline_roundtrip(tiny_env):
+    make_params = tiny_env
+    params, runs = make_params("drv_base")
+    stats = cli.main_train_baseline(params)
+    assert 0 in stats["loss"]
+    ckpt = os.path.join(runs, "drv_base", "model", "drv_base_00000.ckp")
+    assert os.path.isfile(ckpt)
+    pj = json.load(open(os.path.join(runs, "drv_base", "params.json")))
+    assert pj["alias"] == "drv_base"
+
+    tparams, _ = make_params("test_drv_base", start_from=ckpt)
+    submit = cli.main_test_baseline(tparams)
+    sub = json.load(open(submit))
+    n = sum(len(v) for v in sub["results"].values())
+    assert n == 32  # debug truncation: 4 * batch_size
+    first = next(iter(sub["results"].values()))[0]
+    assert set(first) >= {"sentence", "timestamp", "gt_timestamp", "score",
+                          "video_duration"}
+
+
+def test_train_and_test_gmd_roundtrip(tiny_env):
+    make_params = tiny_env
+    params, runs = make_params("drv_gmd")
+    stats = cli.main_train(params)
+    assert 0 in stats["mIoU"]
+    ckpt = os.path.join(runs, "drv_gmd", "model", "drv_gmd_00000.ckp")
+    tparams, _ = make_params("test_drv_gmd", start_from=ckpt)
+    submit = cli.main_test(tparams)
+    sub = json.load(open(submit))
+    assert sum(len(v) for v in sub["results"].values()) == 32
+
+
+def test_resume_from_checkpoint(tiny_env):
+    make_params = tiny_env
+    params, runs = make_params("drv_resume_a", epoch=1)
+    cli.main_train_baseline(params)
+    ckpt = os.path.join(runs, "drv_resume_a", "model", "drv_resume_a_00000.ckp")
+    params2, _ = make_params("drv_resume_b", start_from=ckpt, epoch=1)
+    stats2 = cli.main_train_baseline(params2)
+    assert 0 in stats2["loss"]  # resumed run completes

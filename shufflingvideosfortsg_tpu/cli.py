@@ -229,8 +229,11 @@ def main_train(params: Dict[str, Any]) -> Dict[str, Any]:
         if (step_epoch + 1) % params['test_interval'] == 0 or step_epoch == 0:
             statistics['loss'][step_epoch] = round(avg_loss, 3)
         if (step_epoch + 1) % params['test_interval'] == 0:
+            # fork the key so validation's aug draws never alias the
+            # training stream
             miou = run_valid(valid_step, state, valid_loader, valid_set,
-                             params, logger, step_epoch, saver, mesh, key)
+                             params, logger, step_epoch, saver, mesh,
+                             jax.random.fold_in(key, 0x5a11d))
             statistics['mIoU'][step_epoch] = round(miou * 100, 2)
         if (step_epoch + 1) % params['save_model_interval'] == 0 \
                 or (step_epoch + 1) == params['epoch']:

@@ -93,3 +93,26 @@ def test_gmd_with_lstm_matcher_and_mask(rng):
     # with video_if_mask=True, masked positions get ~zero prob
     assert s[0, 7:].max() < 1e-8
     assert s[2, 9:].max() < 1e-8
+
+
+def test_content_predictor_family(rng):
+    from shufflingvideosfortsg_tpu.models.content_predictors import (
+        ConditionalLSTMContentPredictor, MLPContentPredictor,
+        StartConditionedPredictor, TiedLSTMContentPredictor)
+    feat = jnp.asarray(rng.randn(B, T, 20).astype(np.float32))
+    for mod in (MLPContentPredictor(8),
+                TiedLSTMContentPredictor(8, 8, 0.0),
+                ConditionalLSTMContentPredictor(8, 0.0)):
+        variables = mod.init(jax.random.PRNGKey(0), feat)
+        s, e, c = mod.apply(variables, feat)
+        for p in (s, e, c):
+            assert p.shape == (B, T)
+            np.testing.assert_allclose(np.asarray(p.sum(1)), 1.0, rtol=1e-5)
+
+    sc = StartConditionedPredictor(8, 8, 0.0)
+    starts = jnp.asarray(rng.randint(0, T, B))
+    variables = sc.init(jax.random.PRNGKey(0), feat, starts)
+    s, e = sc.apply(variables, feat, starts)
+    assert s.shape == (B, T) and e.shape == (B, T)
+    s2, e2 = sc.apply(variables, feat, method=sc.inference)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(s2), rtol=1e-6)

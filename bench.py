@@ -59,10 +59,10 @@ def bench_train(args):
     }
     mt = jnp.ones((2, T), jnp.int32)
     mn = jnp.ones((2, N), jnp.int32)
-    variables = model.init(jax.random.PRNGKey(0),
-                           jnp.zeros((2, N, 300)), mn, jnp.zeros((2, T, Dv)),
-                           mt, jnp.zeros((2, T, Dv)), mt, mt, mt, mt, mt, mt,
-                           mt)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((2, N, 300)), mn,
+        jnp.zeros((2, T, Dv)), mt, jnp.zeros((2, T, Dv)), mt, mt, mt, mt,
+        mt, mt, mt)
     tx = make_optimizer(params, steps_per_epoch=1000)
     state = create_train_state(variables['params'], tx)
     step = make_gmd_train_step(model, params)
@@ -102,11 +102,10 @@ def bench_serve(args):
     N = 15
     mt = jnp.ones((2, T), jnp.int32)
     mn = jnp.ones((2, N), jnp.int32)
-    variables = model.init(jax.random.PRNGKey(0),
-                           jnp.zeros((2, N, 300)), mn,
-                           jnp.zeros((2, T, 1024)), mt,
-                           jnp.zeros((2, T, 1024)), mt,
-                           mt, mt, mt, mt, mt, mt)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((2, N, 300)), mn,
+        jnp.zeros((2, T, 1024)), mt, jnp.zeros((2, T, 1024)), mt,
+        mt, mt, mt, mt, mt, mt)
     g = MultiQueryGrounder(params, variables['params'],
                            query_batch=args.batch)
     video = rng.randn(T, 1024).astype(np.float32)
@@ -163,10 +162,10 @@ def main():
 
     mt = jnp.ones((2, T), jnp.int32)
     mn = jnp.ones((2, N), jnp.int32)
-    variables = model.init(jax.random.PRNGKey(0),
-                           jnp.zeros((2, N, 300)), mn,
-                           jnp.zeros((2, T, Dv)), mt, jnp.zeros((2, T, Dv)),
-                           mt, mt, mt, mt, mt, mt, mt)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((2, N, 300)), mn,
+        jnp.zeros((2, T, Dv)), mt, jnp.zeros((2, T, Dv)), mt, mt, mt, mt,
+        mt, mt, mt)
     model_params = variables['params']
 
     @jax.jit

@@ -110,11 +110,13 @@ def init_model_params(model, params, key, kind: str):
     sent = np.zeros((B, N, 300), np.float32)
     m_t = np.ones((B, T), np.int32)
     m_n = np.ones((B, N), np.int32)
+    # jit the init: eager init issues thousands of single-op dispatches,
+    # which is pathologically slow through a remote-TPU relay
     if kind == 'gmd':
-        variables = model.init(key, sent, m_n, video, m_t, video, m_t,
-                               m_t, m_t, m_t, m_t, m_t, m_t)
+        variables = jax.jit(model.init)(key, sent, m_n, video, m_t, video,
+                                        m_t, m_t, m_t, m_t, m_t, m_t, m_t)
     else:
-        variables = model.init(key, video, sent, m_t, m_n)
+        variables = jax.jit(model.init)(key, video, sent, m_t, m_n)
     return variables['params']
 
 

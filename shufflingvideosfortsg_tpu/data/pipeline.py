@@ -91,6 +91,13 @@ class SentenceGroundingDataset:
             self.pack = PackedFeatureSource(feature_path)
             self.store = None
         else:
+            if not os.path.exists(feature_path):
+                raise FileNotFoundError(
+                    f"feature path does not exist: {feature_path!r}. The "
+                    "I3D/C3D archives are external downloads (reference "
+                    "README); for smoke runs generate synthetic features "
+                    "with tools/make_synth_features.py, or pack real ones "
+                    "with tools/featpack.py.")
             self.store = FeatureStore(feature_path)
 
         self._sampler_rng = np.random.RandomState(params.get('seed', 123))

@@ -108,6 +108,9 @@ def _lstm_kernel(xw_hbm, w_hh_ref, out_hbm, hc_out_ref,
 
         return 0
 
+    # NOTE: full unroll (Mosaic supports only 1 or T) measured no faster
+    # (1.81ms vs 1.77ms at T=128/B=512) — the step cost is matmul+VPU+DMA,
+    # not loop overhead — so stay rolled for fast compiles
     jax.lax.fori_loop(0, T, step, 0)
     if n_chunks >= 2:
         out_dma(jax.lax.rem(n_chunks - 2, 2), n_chunks - 2).wait()

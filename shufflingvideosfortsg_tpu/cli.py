@@ -224,9 +224,17 @@ def main_train(params: Dict[str, Any]) -> Dict[str, Any]:
                 _check_finite(m, state, saver, key, logger, step_epoch, idx)
         epoch_metrics = jax.device_get(epoch_metrics)
         avg_loss = _avg(epoch_metrics, 'loss')
+        epoch_secs = time.time() - t0
         logger.info('epoch [%03d]: elapsed time:%0.2fs, avg loss: %03.3f, '
-                    'miou: %03.3f', step_epoch, time.time() - t0, avg_loss,
+                    'miou: %03.3f', step_epoch, epoch_secs, avg_loss,
                     _avg(epoch_metrics, 'miou'))
+        saver.log_metrics({
+            'epoch': step_epoch, 'phase': 'train', 'seconds': epoch_secs,
+            'loss': avg_loss, 'miou': _avg(epoch_metrics, 'miou'),
+            'loss_g': _avg(epoch_metrics, 'loss_g'),
+            'loss_intra': _avg(epoch_metrics, 'loss_intra'),
+            'loss_inter': _avg(epoch_metrics, 'loss_inter'),
+            'loss_d': _avg(epoch_metrics, 'loss_d')})
 
         if (step_epoch + 1) % params['test_interval'] == 0 or step_epoch == 0:
             statistics['loss'][step_epoch] = round(avg_loss, 3)
@@ -237,6 +245,8 @@ def main_train(params: Dict[str, Any]) -> Dict[str, Any]:
                              params, logger, step_epoch, saver, mesh,
                              jax.random.fold_in(key, 0x5a11d))
             statistics['mIoU'][step_epoch] = round(miou * 100, 2)
+            saver.log_metrics({'epoch': step_epoch, 'phase': 'valid',
+                               'miou': miou})
         if (step_epoch + 1) % params['save_model_interval'] == 0 \
                 or (step_epoch + 1) == params['epoch']:
             path = saver.save_checkpoint(step_epoch, state, key)
@@ -394,9 +404,13 @@ def main_train_baseline(params: Dict[str, Any]) -> Dict[str, Any]:
                 _check_finite(m, state, saver, key, logger, step_epoch, idx)
         epoch_metrics = jax.device_get(epoch_metrics)
         avg_loss = _avg(epoch_metrics, 'loss')
+        epoch_secs = time.time() - t0
         logger.info('epoch [%03d]: elapsed time:%0.2fs, avg loss: %03.3f, '
-                    'miou: %03.3f', step_epoch, time.time() - t0, avg_loss,
+                    'miou: %03.3f', step_epoch, epoch_secs, avg_loss,
                     _avg(epoch_metrics, 'miou'))
+        saver.log_metrics({'epoch': step_epoch, 'phase': 'train',
+                           'seconds': epoch_secs, 'loss': avg_loss,
+                           'miou': _avg(epoch_metrics, 'miou')})
         if (step_epoch + 1) % params['test_interval'] == 0 or step_epoch == 0:
             statistics['loss'][step_epoch] = round(avg_loss, 3)
         if (step_epoch + 1) % params['test_interval'] == 0:

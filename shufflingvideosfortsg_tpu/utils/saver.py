@@ -59,6 +59,13 @@ class RunManager:
         save_checkpoint(path, state, rng_key)
         return path
 
+    def log_metrics(self, record: Dict[str, Any]) -> None:
+        """Append one JSON line to <run>/metrics.jsonl (machine-readable
+        training curve; the reference only had free-text logs)."""
+        path = os.path.join(self.root_folder, 'metrics.jsonl')
+        with open(path, 'a') as f:
+            f.write(json.dumps(_jsonable(record)) + '\n')
+
     def save_submits(self, submits: Dict[str, Any], step: int,
                      key: str = 'val_data') -> str:
         split = self.params[key].split('/')[-1].split('.')[0]

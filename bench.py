@@ -20,6 +20,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from shufflingvideosfortsg_tpu.utils.cache import enable_compilation_cache
+enable_compilation_cache()
+
 BASELINE_SENT_PER_S = 676.0  # reference eval throughput, 1 GPU
 
 

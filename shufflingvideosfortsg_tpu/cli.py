@@ -23,6 +23,9 @@ import numpy as np
 if os.environ.get('SVTSG_PLATFORM'):
     jax.config.update('jax_platforms', os.environ['SVTSG_PLATFORM'])
 
+from .utils.cache import enable_compilation_cache
+enable_compilation_cache()
+
 from .config import DEFAULTS, load_config
 from .data.pipeline import BatchLoader, SentenceGroundingDataset
 from .eval.iou import retrieval_eval

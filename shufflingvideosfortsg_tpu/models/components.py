@@ -237,6 +237,29 @@ class QueryAwareEncoder(nn.Module):
             residual = block(residual, word_feat, deterministic)
         return self.norm(residual)
 
+    def block0_rnn(self, video_feat: jnp.ndarray) -> jnp.ndarray:
+        """Query-independent block-0 recurrence for a resident video.
+
+        video_feat: [1, T, D]. The fused kernel needs a sublane-aligned
+        batch, so the single video is tiled to 8 rows (8x the FLOPs but
+        ~7x faster than the B=1 lax.scan fallback at T>=1024)."""
+        if self.fused:
+            tiled = jnp.broadcast_to(video_feat,
+                                     (8,) + video_feat.shape[1:])
+            return self.blocks[0].run_rnn(tiled)[:1]
+        return self.blocks[0].run_rnn(video_feat)
+
+    def shared_video_from_rnn0(self, rnn0: jnp.ndarray,
+                               word_feat: jnp.ndarray) -> jnp.ndarray:
+        """Finish the encoder given a precomputed block-0 recurrence
+        (see :meth:`block0_rnn`); everything here is query-dependent."""
+        Q = word_feat.shape[0]
+        rnn0 = jnp.broadcast_to(rnn0, (Q,) + rnn0.shape[1:])
+        residual = self.blocks[0].apply_gate(rnn0, word_feat)
+        for block in self.blocks[1:]:
+            residual = block(residual, word_feat)
+        return self.norm(residual)
+
     def shared_video(self, video_feat: jnp.ndarray, word_feat: jnp.ndarray
                      ) -> jnp.ndarray:
         """Serving path: one resident video [1, T, D] against Q queries.
@@ -245,13 +268,8 @@ class QueryAwareEncoder(nn.Module):
         expensive scan — D=1024 input) runs ONCE and only the SCDM gate is
         evaluated per query; later blocks depend on the query and run
         batched over Q."""
-        Q = word_feat.shape[0]
-        rnn0 = self.blocks[0].run_rnn(video_feat)           # [1, T, 2H]
-        rnn0 = jnp.broadcast_to(rnn0, (Q,) + rnn0.shape[1:])
-        residual = self.blocks[0].apply_gate(rnn0, word_feat)
-        for block in self.blocks[1:]:
-            residual = block(residual, word_feat)
-        return self.norm(residual)
+        return self.shared_video_from_rnn0(self.block0_rnn(video_feat),
+                                           word_feat)
 
 
 # ---------------------------------------------------------------------------

@@ -136,6 +136,40 @@ class GMD(nn.Module):
         return {'start_prob': start_prob, 'end_prob': end_prob,
                 'match_prob': match_prob}
 
+    def precompute_video(self, video_feat: jnp.ndarray) -> jnp.ndarray:
+        """Query-independent part of the serving encoder (block-0
+        recurrence) for a resident [1, T, D] video — compute once per
+        video, reuse across every query batch."""
+        if hasattr(self.video_encoder, 'block0_rnn'):
+            return self.video_encoder.block0_rnn(video_feat)
+        return video_feat
+
+    def serve_cached(self, rnn0: jnp.ndarray, query_feat: jnp.ndarray,
+                     video_mask: Optional[jnp.ndarray] = None
+                     ) -> Dict[str, jnp.ndarray]:
+        """serve_multi_query with the block-0 recurrence precomputed by
+        :meth:`precompute_video`."""
+        Q = query_feat.shape[0]
+        word_feat, sent_embed = self.sentence_encoder(query_feat, True)
+        if hasattr(self.video_encoder, 'shared_video_from_rnn0'):
+            frame_feat = self.video_encoder.shared_video_from_rnn0(
+                rnn0, word_feat)
+        else:
+            tiled = jnp.broadcast_to(rnn0, (Q,) + rnn0.shape[1:])
+            frame_feat = self.video_encoder(tiled, word_feat, True)
+        vmask = None
+        if video_mask is not None:
+            vmask = jnp.broadcast_to(video_mask, (Q, video_mask.shape[-1]))
+        cross_feat = cmi_apply(self.cross_name, frame_feat, word_feat,
+                               sent_embed)
+        match_prob, _ = self.csmm(frame_feat, sent_embed, vmask, True)
+        gated_feat = match_prob[:, :, None] * cross_feat
+        start_prob, end_prob = self.span_predictor(
+            gated_feat, v_mask=vmask if self.video_if_mask else None,
+            deterministic=True)
+        return {'start_prob': start_prob, 'end_prob': end_prob,
+                'match_prob': match_prob}
+
     def serve_multi_query(self, video_feat: jnp.ndarray,
                           query_feat: jnp.ndarray,
                           video_mask: Optional[jnp.ndarray] = None

@@ -38,20 +38,27 @@ class MultiQueryGrounder:
         model = self.model
 
         @jax.jit
-        def _serve(p, video, queries):
-            out = model.apply({'params': p}, video, queries,
-                              method=model.serve_multi_query)
+        def _precompute(p, video):
+            return model.apply({'params': p}, video,
+                               method=model.precompute_video)
+
+        @jax.jit
+        def _serve(p, rnn0, queries):
+            out = model.apply({'params': p}, rnn0, queries,
+                              method=model.serve_cached)
             pred, score = span_decode(out['start_prob'], out['end_prob'])
             return pred, score
 
+        self._precompute = _precompute
         self._serve = _serve
-        self._resident_video: Optional[jnp.ndarray] = None
+        self._resident_rnn0: Optional[jnp.ndarray] = None
 
     def set_video(self, video_feats: np.ndarray) -> None:
-        """Pin a [T, D] feature array on device (replicated)."""
-        self._resident_video = jax.device_put(
-            jnp.asarray(video_feats, jnp.float32)[None],
-            replicated_sharding(self.mesh))
+        """Pin a [T, D] video on device: runs the query-independent block-0
+        recurrence ONCE; every query batch reuses it."""
+        video = jax.device_put(jnp.asarray(video_feats, jnp.float32)[None],
+                               replicated_sharding(self.mesh))
+        self._resident_rnn0 = self._precompute(self.model_params, video)
 
     def ground(self, video_feats: Optional[np.ndarray],
                sent_feats: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
@@ -62,7 +69,7 @@ class MultiQueryGrounder:
         trimmed)."""
         if video_feats is not None:
             self.set_video(video_feats)
-        assert self._resident_video is not None, 'no video set'
+        assert self._resident_rnn0 is not None, 'no video set'
         Q = sent_feats.shape[0]
         qb = self.query_batch
         preds, scores = [], []
@@ -76,7 +83,7 @@ class MultiQueryGrounder:
             queries = jax.device_put(jnp.asarray(chunk, jnp.float32),
                                      qsharding)
             pred, score = self._serve(self.model_params,
-                                      self._resident_video, queries)
+                                      self._resident_rnn0, queries)
             preds.append(np.asarray(pred)[:n])
             scores.append(np.asarray(score)[:n])
         return np.concatenate(preds), np.concatenate(scores)

@@ -72,3 +72,23 @@ def test_grounder_chunking(model_and_params, rng):
     pred2, score2 = g.ground(None, queries)
     np.testing.assert_array_equal(pred, pred2)
     np.testing.assert_allclose(score, score2, rtol=1e-6)
+
+
+def test_serve_cached_equals_direct(model_and_params, rng):
+    model, params = model_and_params
+    Q = 8
+    video = rng.randn(1, T, DV).astype(np.float32)
+    queries = rng.randn(Q, N, 300).astype(np.float32)
+    rnn0 = model.apply({'params': params}, jnp.array(video),
+                       method=model.precompute_video)
+    out_cached = model.apply({'params': params}, rnn0, jnp.array(queries),
+                             method=model.serve_cached)
+    out_direct = model.apply({'params': params}, jnp.array(video),
+                             jnp.array(queries),
+                             method=model.serve_multi_query)
+    np.testing.assert_allclose(np.asarray(out_cached['start_prob']),
+                               np.asarray(out_direct['start_prob']),
+                               atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_cached['end_prob']),
+                               np.asarray(out_direct['end_prob']),
+                               atol=1e-5, rtol=1e-4)

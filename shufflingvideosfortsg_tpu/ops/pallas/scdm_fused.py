@@ -40,10 +40,13 @@ def _scdm_kernel(vp_ref, sp_ref, w_ref, sf_ref, out_ref, *, N: int):
 
 
 def _largest_divisor_leq(n: int, cap: int) -> int:
+    """Largest divisor of n that is <= cap AND sublane-aligned (multiple
+    of 8), since the tile's second-to-last dim must divide by 8; falls
+    back to n itself (full-T block) when none exists."""
     for d in range(min(n, cap), 0, -1):
-        if n % d == 0:
+        if n % d == 0 and d % 8 == 0:
             return d
-    return 1
+    return n
 
 
 def scdm_attention_fused(video_proj: jnp.ndarray, sent_proj: jnp.ndarray,
@@ -64,6 +67,11 @@ def scdm_attention_fused(video_proj: jnp.ndarray, sent_proj: jnp.ndarray,
     N = sent_proj.shape[1]
     Ds = sent_feat.shape[-1]
     assert B % block_b == 0
+    # the statically-unrolled N-loop keeps several [bb, bt, Dh] activation
+    # temporaries live on the kernel stack; halve the time tile for f32 so
+    # the scoped-VMEM total stays under the 16MB budget
+    if jnp.dtype(video_proj.dtype).itemsize > 2:
+        block_t = min(block_t, 64)
     bt = _largest_divisor_leq(T, block_t)
     grid = (B // block_b, T // bt)
     return pl.pallas_call(

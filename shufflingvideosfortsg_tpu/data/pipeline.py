@@ -266,7 +266,8 @@ class BatchLoader:
 
     def __init__(self, dataset: SentenceGroundingDataset, batch_size: int,
                  shuffle: bool, seed: int = 0, host_pair_aug: bool = False,
-                 embed_tokens: bool = True, prefetch: int = 2):
+                 embed_tokens: bool = True, prefetch: int = 2,
+                 process_index: int = 0, process_count: int = 1):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -275,14 +276,27 @@ class BatchLoader:
         self.embed_tokens = embed_tokens
         self.prefetch = prefetch
         self.epoch = 0
+        # multi-host data parallelism: each host loads a disjoint 1/Nth
+        # stripe of the (identically seeded) global shuffle; batches then
+        # assemble into global arrays via jax.make_array_from_process_
+        # local_data at the caller. Single-host runs use (0, 1).
+        self.process_index = process_index
+        self.process_count = process_count
+
+    def _global_len(self):
+        return len(self.dataset)
 
     def __len__(self):
-        return (len(self.dataset) + self.batch_size - 1) // self.batch_size
+        per_host = (self._global_len() + self.process_count - 1) \
+            // self.process_count
+        return (per_host + self.batch_size - 1) // self.batch_size
 
     def _order(self) -> np.ndarray:
-        idx = np.arange(len(self.dataset))
+        idx = np.arange(self._global_len())
         if self.shuffle:
             np.random.RandomState(self.seed + self.epoch).shuffle(idx)
+        if self.process_count > 1:
+            idx = idx[self.process_index::self.process_count]
         return idx
 
     def _make_batch(self, chunk: np.ndarray) -> Dict[str, Any]:

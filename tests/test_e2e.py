@@ -174,3 +174,24 @@ def test_graph_modeling(rng):
     v = gm.init(jax.random.PRNGKey(0), words, obs, rls)
     out = gm.apply(v, words, obs, rls)
     assert out.shape == (B, 2 * M, D)
+
+
+def test_lg_frame2sec_in_step(rng):
+    """The 'lg' feature path converts frame-index predictions to seconds
+    inside the eval step (pos / nfeats * duration)."""
+    from shufflingvideosfortsg_tpu.train.steps import make_baseline_eval_step
+    model = Baseline(**tiny_model_kwargs())
+    batch = make_batch(4, rng)
+    batch['nfeats'] = np.full((4,), T // 2, np.int32)
+    batch['duration'] = np.full((4,), 100.0, np.float32)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.array(batch['video_feat']),
+                           jnp.array(batch['sent_feat']))
+    jb = {k: jnp.array(v) for k, v in batch.items()}
+    out_id = make_baseline_eval_step(model, lg_frame2sec=False)(
+        variables['params'], jb)
+    out_lg = make_baseline_eval_step(model, lg_frame2sec=True)(
+        variables['params'], jb)
+    want = np.asarray(out_id['pred_time']) / (T // 2) * 100.0
+    np.testing.assert_allclose(np.asarray(out_lg['pred_time']), want,
+                               rtol=1e-5)

@@ -129,3 +129,23 @@ def test_prefetch_equals_sync(charades_setup):
     for a, c in zip(sync, pre):
         np.testing.assert_array_equal(a["video_feat"], c["video_feat"])
         assert a["vid"] == c["vid"]
+
+
+def test_multihost_striping(charades_setup):
+    """Per-process loader stripes partition the global shuffle disjointly
+    and completely (multi-host data parallelism contract)."""
+    ds = make_dataset(charades_setup)
+    loaders = [BatchLoader(ds, 32, shuffle=True, seed=9, prefetch=0,
+                           process_index=i, process_count=4)
+               for i in range(4)]
+    seen = []
+    for ld in loaders:
+        for b in ld:
+            seen.extend(b["vid"][:b["n_valid"]])
+    assert len(seen) == len(ds)  # every sample exactly once across hosts
+    # identical global order: striping the same seed must tile the shuffle
+    full = BatchLoader(ds, 32, shuffle=True, seed=9, prefetch=0)
+    b_full = next(iter(full))
+    b_0 = next(iter(BatchLoader(ds, 8, shuffle=True, seed=9, prefetch=0,
+                                process_index=0, process_count=4)))
+    assert b_0["vid"][0] == b_full["vid"][0]

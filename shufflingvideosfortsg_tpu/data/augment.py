@@ -25,7 +25,7 @@ a pure index gather keyed by a JAX PRNG; this module doubles as its oracle.
 from __future__ import annotations
 
 import random
-from typing import List, Sequence, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

@@ -16,7 +16,7 @@ import ctypes
 import json
 import os
 import struct
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 

@@ -20,7 +20,6 @@ the single downcast point).
 
 from __future__ import annotations
 
-import math
 from typing import List, Sequence, Tuple
 
 import numpy as np

@@ -10,7 +10,7 @@ component-inventory completeness and are fully functional.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,7 @@ k = 1/sqrt(H); the fused bias is the sum of two independent U(-k, k) draws).
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp

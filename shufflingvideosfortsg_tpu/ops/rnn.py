@@ -42,6 +42,16 @@ def lstm_uniform_init(hidden_size: int, double_draw: bool = False):
     return init
 
 
+def _eval_kernel_vmem_bytes(B: int, H: int, itemsize: int) -> int:
+    """VMEM footprint of the inference recurrence kernel (NBUF=3 xw
+    pipeline + f32 carries + staging); see pallas/lstm_scan.py."""
+    return (3 * (2 * B * 4 * H * itemsize)    # xw pipeline
+            + 2 * (2 * B * H * 4) * 2         # h, c carries (f32)
+            + 2 * (2 * B * H * itemsize)      # out staging
+            + (2 * H * 4 * H * itemsize)      # w_hh resident
+            + 2 * (2 * B * H * 4))            # hc output
+
+
 def _bwd_kernel_vmem_bytes(B: int, H: int, itemsize: int) -> int:
     """VMEM footprint estimate of the fused backward kernel (see
     pallas/lstm_scan.py scratch shapes) — used to fall back to lax.scan
@@ -128,12 +138,15 @@ class BiLSTM(nn.Module):
             xw = jnp.transpose(xw, (2, 0, 1, 3))  # [T, 2, B, 4H]
 
             mode = self.fused
+            itemsize = jnp.dtype(self.dtype).itemsize
             if mode and B % 8 != 0:
                 mode = False  # Mosaic sublane tiling needs aligned batch
-            if mode == 'train':
-                itemsize = jnp.dtype(self.dtype).itemsize
-                if _bwd_kernel_vmem_bytes(B, H, itemsize) > 14 * (1 << 20):
-                    mode = False  # over VMEM budget -> differentiable scan
+            if mode == 'train' and \
+                    _bwd_kernel_vmem_bytes(B, H, itemsize) > 14 * (1 << 20):
+                mode = False  # over VMEM budget -> differentiable scan
+            if mode in (True, 'eval') and \
+                    _eval_kernel_vmem_bytes(B, H, itemsize) > 14 * (1 << 20):
+                mode = False  # over VMEM budget -> lax.scan
             if mode == 'train':
                 from .pallas.lstm_scan import lstm_scan_fused
                 out, h_f, c_f = lstm_scan_fused(xw, w_hh.astype(self.dtype))

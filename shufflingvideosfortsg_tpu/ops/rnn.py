@@ -144,9 +144,18 @@ class BiLSTM(nn.Module):
             if mode == 'train' and \
                     _bwd_kernel_vmem_bytes(B, H, itemsize) > 14 * (1 << 20):
                 mode = False  # over VMEM budget -> differentiable scan
-            if mode in (True, 'eval') and \
-                    _eval_kernel_vmem_bytes(B, H, itemsize) > 14 * (1 << 20):
-                mode = False  # over VMEM budget -> lax.scan
+            kernel_B = B
+            if mode in (True, 'eval'):
+                # batches beyond the kernel's VMEM budget run as several
+                # kernel calls over equal batch chunks (still ~2.5x the
+                # scan per chunk)
+                while kernel_B > 8 and (
+                        _eval_kernel_vmem_bytes(kernel_B, H, itemsize)
+                        > 14 * (1 << 20) or B % kernel_B or kernel_B % 8):
+                    kernel_B -= 8
+                if _eval_kernel_vmem_bytes(kernel_B, H, itemsize) \
+                        > 14 * (1 << 20):
+                    mode = False  # even one 8-row chunk won't fit
             if mode == 'train':
                 from .pallas.lstm_scan import lstm_scan_fused
                 out, h_f, c_f = lstm_scan_fused(xw, w_hh.astype(self.dtype))
@@ -155,7 +164,16 @@ class BiLSTM(nn.Module):
                 c_f = c_f.astype(self.dtype)
             elif mode in (True, 'eval'):
                 from .pallas.lstm_scan import lstm_scan_pallas
-                out, h_f, c_f = lstm_scan_pallas(xw, w_hh.astype(self.dtype))
+                w_c = w_hh.astype(self.dtype)
+                if kernel_B == B:
+                    out, h_f, c_f = lstm_scan_pallas(xw, w_c)
+                else:
+                    parts = [lstm_scan_pallas(
+                        xw[:, :, b0:b0 + kernel_B], w_c)
+                        for b0 in range(0, B, kernel_B)]
+                    out = jnp.concatenate([p[0] for p in parts], axis=2)
+                    h_f = jnp.concatenate([p[1] for p in parts], axis=1)
+                    c_f = jnp.concatenate([p[2] for p in parts], axis=1)
                 out = out.astype(self.dtype)
                 h_f = h_f.astype(self.dtype)
                 c_f = c_f.astype(self.dtype)

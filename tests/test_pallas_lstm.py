@@ -195,3 +195,22 @@ class _nullcontext:
 
     def __exit__(self, *a):
         return False
+
+
+def test_chunked_eval_kernel_path(rng, monkeypatch):
+    """Batches over the kernel VMEM budget split into per-chunk kernel
+    calls with identical results."""
+    import shufflingvideosfortsg_tpu.ops.rnn as rnn_mod
+    monkeypatch.setattr(rnn_mod, '_eval_kernel_vmem_bytes',
+                        lambda B, H, isz: 10 * (1 << 20) if B > 8 else 1)
+    B, T, D, H = 16, 10, 12, 8
+    x = jnp.asarray(rng.randn(B, T, D).astype(np.float32))
+    ref = rnn_mod.BiLSTM(hidden_size=H, num_layers=2)
+    variables = ref.init(jax.random.PRNGKey(0), x)
+    o0, h0, c0 = ref.apply(variables, x)
+    fz = rnn_mod.BiLSTM(hidden_size=H, num_layers=2, fused='eval')
+    with pltpu.force_tpu_interpret_mode():
+        o1, h1, c1 = fz.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(o0), np.asarray(o1), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h0), np.asarray(h1), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(c0), np.asarray(c1), atol=1e-5)

@@ -19,6 +19,7 @@ comparable; LayerNorm uses eps=1e-5 (torch default).
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Optional, Tuple
 
 import jax
@@ -336,6 +337,34 @@ class MLPPredictor(nn.Module):
         return _finalize(s, e, v_mask)
 
 
+class ConvPredictor(nn.Module):
+    """Temporal-conv span predictor.
+
+    The reference's ConvPredictor (SpanPredictor.py:48-57) is an
+    unfinished stub: it lacks ``super().__init__`` (crashes on
+    construction), has no forward, and no dispatcher branch reaches it.
+    This is the completed capability: per-boundary SAME-padded temporal
+    convolutions (so T is preserved and v_mask stays aligned) + tanh +
+    linear head, mirroring the MLP predictor's head structure but with a
+    local temporal receptive field. kernel_size=3 matches the stub's
+    intent of a small conv kernel; num_kernel <- mlp_hidden_dim (the
+    dispatcher passes no conv-specific hyperparameters)."""
+    hidden_dim: int
+    kernel_size: int = 3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feat, v_mask=None, deterministic: bool = True):
+        conv = functools.partial(nn.Conv, features=self.hidden_dim,
+                                 kernel_size=(self.kernel_size,),
+                                 padding='SAME', dtype=self.dtype)
+        s = TDense(1, dtype=self.dtype, name='start_fc')(
+            jnp.tanh(conv(name='start_conv')(feat)))[..., 0]
+        e = TDense(1, dtype=self.dtype, name='end_fc')(
+            jnp.tanh(conv(name='end_conv')(feat)))[..., 0]
+        return _finalize(s, e, v_mask)
+
+
 class TiedLSTMPredictor(nn.Module):
     lstm_hidden_dim: int
     mlp_hidden_dim: int
@@ -490,6 +519,9 @@ class SpanPredictorBoundary(nn.Module):
             p = CatConditionalLSTMPredictor(self.lstm_hidden_dim,
                                             self.mlp_hidden_dim, self.dropout,
                                             dtype=self.dtype, name='predictor')
+        elif name in ('conv', 'e'):
+            p = ConvPredictor(self.mlp_hidden_dim, dtype=self.dtype,
+                              name='predictor')
         elif name in ('self_attn', 'd'):
             p = SelfAttentionPredictor(self.attention_nheads,
                                        self.position_encoding, self.dropout,

@@ -16,7 +16,7 @@ B, T, N, DV = 3, 12, 5, 16
 
 @pytest.mark.parametrize("name", ["mlp", "tied_lstm", "cat_tied_lstm",
                                   "condi_lstm", "cat_condi_lstm",
-                                  "self_attn"])
+                                  "self_attn", "conv"])
 def test_span_predictor_variants(rng, name):
     feat = jnp.asarray(rng.randn(B, T, 20).astype(np.float32))
     vmask = jnp.asarray((rng.rand(B, T) > 0.2).astype(np.int32))

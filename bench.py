@@ -23,7 +23,14 @@ import jax.numpy as jnp
 from shufflingvideosfortsg_tpu.utils.cache import enable_compilation_cache
 enable_compilation_cache()
 
-BASELINE_SENT_PER_S = 676.0  # reference eval throughput, 1 GPU
+BASELINE_SENT_PER_S = 676.0  # reference Charades-CD eval throughput, 1 GPU
+
+# per-dataset eval configurations (SURVEY.md §6: reference test.log timings)
+EVAL_CONFIGS = {
+    # dataset: (T, N, baseline sent/s)
+    'charades': (128, 15, 676.0),
+    'anet': (240, 25, 386.0),
+}
 
 
 def bench_train(args):
@@ -137,6 +144,9 @@ def main():
     ap.add_argument('--iters', type=int, default=30)
     ap.add_argument('--warmup', type=int, default=5)
     ap.add_argument('--precision', default='bf16', choices=['f32', 'bf16'])
+    ap.add_argument('--dataset', default='charades', choices=sorted(EVAL_CONFIGS),
+                    help='eval-mode configuration: charades (T=128, ref 676 '
+                         'sent/s) or anet (T=240, ref 386 sent/s)')
     ap.add_argument('--total-sentences', type=int, default=3375,
                     help='simulate the full Charades-CD ood eval size')
     args = ap.parse_args()
@@ -151,12 +161,13 @@ def main():
     from shufflingvideosfortsg_tpu.models import build_model
     from shufflingvideosfortsg_tpu.ops.span import span_decode
 
+    T, N, baseline = EVAL_CONFIGS[args.dataset]
     params = load_config(None, overrides={
-        'video_len': 128, 'sent_len': 15, 'video_feature_dim': 1024,
+        'video_len': T, 'sent_len': N, 'video_feature_dim': 1024,
         'precision': args.precision})
     model = build_model(params, 'gmd', inference=True)
 
-    B, T, N, Dv = args.batch, 128, 15, 1024
+    B, Dv = args.batch, 1024
     rng = np.random.RandomState(0)
     video = jnp.asarray(rng.randn(B, T, Dv), jnp.float32)
     sent = jnp.asarray(rng.randn(B, N, 300), jnp.float32)
@@ -192,10 +203,10 @@ def main():
 
     sent_per_s = args.iters * B / dt
     print(json.dumps({
-        'metric': 'charades_cd_eval_sentences_per_sec_per_chip',
+        'metric': f'{args.dataset}_cd_eval_sentences_per_sec_per_chip',
         'value': round(sent_per_s, 1),
         'unit': 'sentences/s',
-        'vs_baseline': round(sent_per_s / BASELINE_SENT_PER_S, 2),
+        'vs_baseline': round(sent_per_s / baseline, 2),
     }))
 
 

@@ -60,6 +60,21 @@ def test_csmm_lstm_temporal(rng):
     assert feat.shape == (B, T, 16)  # BiLSTM(8) output dim
 
 
+def test_baseline_with_conv_predictor(rng):
+    model = Baseline(sent_hidden=8, sent_layers=1,
+                     video_encoder_name='qave', video_hidden=8,
+                     video_layers=1, nblocks=2, cross_name='vs',
+                     predictor_name='conv', mlp_hidden_dim=8,
+                     span_hidden_dim=8, dropout=0.0)
+    video = jnp.asarray(rng.randn(B, T, DV).astype(np.float32))
+    sent = jnp.asarray(rng.randn(B, N, 300).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), video, sent)
+    out = model.apply(variables, video, sent)
+    s = np.asarray(out['start_prob'])
+    assert s.shape == (B, T)
+    np.testing.assert_allclose(s.sum(1), 1.0, rtol=1e-5)
+
+
 def test_rnn_video_encoder_model(rng):
     model = Baseline(sent_hidden=8, sent_layers=1,
                      video_encoder_name='rnn', video_hidden=8,

@@ -43,36 +43,58 @@ from .utils.saver import RunManager, load_checkpoint, restore_train_state
 # argparse surface
 # ---------------------------------------------------------------------------
 
-def build_argparser(default_model: str = 'QAVE_match') -> argparse.ArgumentParser:
+def build_argparser(default_model: str = 'QAVE_match',
+                    suppress: bool = False) -> argparse.ArgumentParser:
+    """Argparse surface mirroring the reference flags.
+
+    With ``suppress=True`` every default becomes ``argparse.SUPPRESS`` so the
+    parsed namespace contains exactly the flags the user actually typed —
+    this is how :func:`parse_params` tracks explicit-flag presence.
+    """
     p = argparse.ArgumentParser()
     for key, value in DEFAULTS.items():
         flag = '--' + key
         if key == 'model':
-            p.add_argument(flag, type=str, default=default_model)
-        elif isinstance(value, bool):
-            p.add_argument(flag, action='store_true', default=value)
+            default = argparse.SUPPRESS if suppress else default_model
+            p.add_argument(flag, type=str, default=default)
+            continue
+        default = argparse.SUPPRESS if suppress else value
+        if isinstance(value, bool):
+            p.add_argument(flag, action='store_true', default=default)
         elif isinstance(value, list):
-            p.add_argument(flag, type=int, nargs='+', default=value)
+            p.add_argument(flag, type=int, nargs='+', default=default)
         elif isinstance(value, int):
-            p.add_argument(flag, type=int, default=value)
+            p.add_argument(flag, type=int, default=default)
         elif isinstance(value, float):
-            p.add_argument(flag, type=float, default=value)
+            p.add_argument(flag, type=float, default=default)
         else:
-            p.add_argument(flag, type=str, default=value)
+            p.add_argument(flag, type=str, default=default)
     return p
 
 
 def parse_params(argv=None, default_model: str = 'QAVE_match') -> Dict[str, Any]:
+    """Merge defaults < YAML < explicitly-typed CLI flags.
+
+    The reference lets YAML win over argparse unconditionally
+    (grounding/train.py:579-583); here an *explicitly typed* flag wins over
+    YAML even when its value equals the argparse default (e.g.
+    ``--epoch 30`` against a YAML ``epoch: 25`` trains 30). Presence is
+    tracked with a second SUPPRESS-defaults parse, not value comparison.
+    """
     parser = build_argparser(default_model)
     args = vars(parser.parse_args(argv))
+    explicit = vars(build_argparser(default_model, suppress=True)
+                    .parse_args(argv))
     cfg = args.pop('cfg', None)
+    explicit.pop('cfg', None)
     params = load_config(cfg, overrides=None)
-    # explicit CLI flags must win over YAML; reference semantics are the
-    # opposite (YAML wins), so only apply non-default CLI values.
-    for k, v in args.items():
-        if k in DEFAULTS and v != DEFAULTS[k] and k != 'model':
+    model = explicit.pop('model', None)
+    for k, v in explicit.items():
+        if k in DEFAULTS:
             params[k] = v
-    params['model'] = args.get('model', default_model)
+    # no reference YAML sets `model`; the per-driver default decides GMD vs
+    # baseline unless the user overrides it explicitly
+    params['model'] = model if model is not None else default_model
     params['cfg'] = cfg
     return params
 
@@ -214,16 +236,21 @@ def main_train(params: Dict[str, Any]) -> Dict[str, Any]:
             key, sk = jax.random.split(key)
             state, metrics = train_step(state, sb, sk)
             epoch_metrics.append(metrics)
-            if params['batch_log_interval'] != -1 and \
-                    idx % params['batch_log_interval'] == 0:
+            do_log = params['batch_log_interval'] != -1 and \
+                idx % params['batch_log_interval'] == 0
+            # watchdog runs on its own unconditional cadence so disabling
+            # batch logging (-1) cannot disable failure detection
+            do_check = idx % params.get('nan_check_interval', 100) == 0
+            if do_log or do_check:
                 m = jax.device_get(metrics)
-                logger.info(
-                    'train: epoch[%03d], batch[%04d/%04d], elapsed time=%0.2fs, '
-                    'loss: %03.3f, miou: %03.3f, loss_g: %03.3f, '
-                    'loss_intra: %03.3f, loss_inter: %03.3f, loss_d: %03.3f',
-                    step_epoch, idx, len(train_loader), time.time() - t_b,
-                    m['loss'], m['miou'], m['loss_g'], m['loss_intra'],
-                    m['loss_inter'], m['loss_d'])
+                if do_log:
+                    logger.info(
+                        'train: epoch[%03d], batch[%04d/%04d], elapsed time=%0.2fs, '
+                        'loss: %03.3f, miou: %03.3f, loss_g: %03.3f, '
+                        'loss_intra: %03.3f, loss_inter: %03.3f, loss_d: %03.3f',
+                        step_epoch, idx, len(train_loader), time.time() - t_b,
+                        m['loss'], m['miou'], m['loss_g'], m['loss_intra'],
+                        m['loss_inter'], m['loss_d'])
                 _check_finite(m, state, saver, key, logger, step_epoch, idx)
         epoch_metrics = jax.device_get(epoch_metrics)
         avg_loss = _avg(epoch_metrics, 'loss')
@@ -397,13 +424,16 @@ def main_train_baseline(params: Dict[str, Any]) -> Dict[str, Any]:
             key, sk = jax.random.split(key)
             state, metrics = train_step(state, sb, sk)
             epoch_metrics.append(metrics)
-            if params['batch_log_interval'] != -1 and \
-                    idx % params['batch_log_interval'] == 0:
+            do_log = params['batch_log_interval'] != -1 and \
+                idx % params['batch_log_interval'] == 0
+            do_check = idx % params.get('nan_check_interval', 100) == 0
+            if do_log or do_check:
                 m = jax.device_get(metrics)
-                logger.info('train: epoch[%03d], batch[%04d/%04d], elapsed '
-                            'time=%0.2fs, loss: %03.3f, miou: %03.3f',
-                            step_epoch, idx, len(train_loader),
-                            time.time() - t_b, m['loss'], m['miou'])
+                if do_log:
+                    logger.info('train: epoch[%03d], batch[%04d/%04d], elapsed '
+                                'time=%0.2fs, loss: %03.3f, miou: %03.3f',
+                                step_epoch, idx, len(train_loader),
+                                time.time() - t_b, m['loss'], m['miou'])
                 _check_finite(m, state, saver, key, logger, step_epoch, idx)
         epoch_metrics = jax.device_get(epoch_metrics)
         avg_loss = _avg(epoch_metrics, 'loss')

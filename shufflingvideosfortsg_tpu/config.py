@@ -107,6 +107,8 @@ DEFAULTS: Dict[str, Any] = {
     "mesh_shape": None,           # e.g. [8] for an 8-way data mesh; None = all devices
     "host_prefetch": 2,           # batches prefetched to device
     "on_device_aug": True,        # pseudo-video permutation inside train_step
+    "nan_check_interval": 100,    # unconditional finite-loss watchdog cadence
+    "aug_seg_len": None,          # segment length for shuffle_temporal modes
 }
 
 

@@ -33,13 +33,15 @@ AugResult = Tuple[List[int], int, np.ndarray]
 
 
 class DataAugmentForTSG:
-    def __init__(self, seed: int, aug_percentage: float, mode: str = 'all'):
+    def __init__(self, seed: int, aug_percentage: float, mode: str = 'all',
+                 seg_len: int | None = None):
         self.rng = random.Random(seed)
         self.np_rng = np.random.RandomState(seed)
         self.aug_percentage = aug_percentage
         self.protected_ratio = 0.2
         self.count = 0
         self.aug_mode = mode
+        self.seg_len = seg_len
         if mode in ('all',):
             self.fn_candidate = [self.protected_gt_moment_crop, self.gt_moment_cropout]
         elif mode in ('gt_crop',):
@@ -62,8 +64,20 @@ class DataAugmentForTSG:
             return framestps, nfeats, video_feat
         fn_idx = self.rng.randint(0, len(self.fn_candidate) - 1) \
             if len(self.fn_candidate) > 1 else 0
-        return self.fn_candidate[fn_idx](framestps, nfeats, video_feat,
-                                         min_crop_width_ratio, max_crop_width_ratio)
+        fn = self.fn_candidate[fn_idx]
+        if self.aug_mode == 'shuffle_temporal':
+            # the reference's dispatch passes crop *ratios* into seg_len here
+            # (data_augment.py:28-36 -> :158-200), crashing with a float
+            # reshape; require an explicit segment length instead.
+            if self.seg_len is None:
+                raise ValueError(
+                    "aug_mode='shuffle_temporal' needs an explicit integer "
+                    "seg_len (pass seg_len= to DataAugmentForTSG, or set "
+                    "aug_seg_len in the config); the reference's aug_data "
+                    "dispatch passes crop ratios here and crashes.")
+            return fn(framestps, nfeats, video_feat, self.seg_len)
+        return fn(framestps, nfeats, video_feat,
+                  min_crop_width_ratio, max_crop_width_ratio)
 
     # -- crops ---------------------------------------------------------------
 
@@ -183,9 +197,16 @@ class DataAugmentForTSG:
 
     # -- segment shuffles ------------------------------------------------------
 
+    @staticmethod
+    def _check_seg_len(seg_len):
+        if not (isinstance(seg_len, (int, np.integer)) and seg_len >= 1):
+            raise ValueError(
+                f'seg_len must be a positive integer, got {seg_len!r}')
+
     def shuffle_temporal_order_by_short_segments(self, framestps, nfeats,
                                                  video_feat, seg_len, *args
                                                  ) -> AugResult:
+        self._check_seg_len(seg_len)
         _, T, D = video_feat.shape
         T_ = T // seg_len
         reshaped = np.reshape(video_feat[:, :T_ * seg_len], (T_, seg_len, D))
@@ -207,6 +228,7 @@ class DataAugmentForTSG:
     def shuffle_temporal_order_by_short_segments_pad(self, framestps, nfeats,
                                                      video_feat, seg_len, *args
                                                      ) -> AugResult:
+        self._check_seg_len(seg_len)
         _, raw_T, D = video_feat.shape
         padded = self.pad_vfeat(video_feat, seg_len)
         _, T, _ = padded.shape
@@ -218,6 +240,7 @@ class DataAugmentForTSG:
     def shuffle_temporal_order_by_short_segments2(self, framestps, nfeats,
                                                   video_feat, seg_len, *args
                                                   ) -> AugResult:
+        self._check_seg_len(seg_len)
         _, raw_T, D = video_feat.shape
         trimmed = self.pad_vfeat(video_feat[:, :nfeats], seg_len)
         _, T, _ = trimmed.shape

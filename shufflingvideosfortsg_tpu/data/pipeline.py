@@ -104,7 +104,8 @@ class SentenceGroundingDataset:
         self.if_aug = bool(params.get('if_aug', False))
         self.data_aug = DataAugmentForTSG(
             seed=123, aug_percentage=params.get('aug_percentage', 0.5),
-            mode=params.get('aug_mode', 'gt_translate'))
+            mode=params.get('aug_mode', 'gt_translate'),
+            seg_len=params.get('aug_seg_len'))
 
         self._select_sampler()
         if self._cacheable:

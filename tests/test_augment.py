@@ -182,3 +182,30 @@ def test_segment_shuffle_batch(rng):
         blocks_out = {out[b, i * seg:(i + 1) * seg].tobytes()
                       for i in range(T // seg)}
         assert blocks_in == blocks_out
+
+
+def test_shuffle_temporal_via_aug_data_requires_seg_len():
+    # The reference's aug_data dispatch passes crop *ratios* into seg_len
+    # (data_augment.py:28-36 -> :158-200) and crashes with a float reshape;
+    # we require an explicit seg_len and raise a clear error instead.
+    aug = DataAugmentForTSG(seed=1, aug_percentage=1, mode='shuffle_temporal')
+    with pytest.raises(ValueError, match='seg_len'):
+        aug.aug_data([10, 20], NFEATS, ramp_video())
+
+
+def test_shuffle_temporal_via_aug_data_with_seg_len():
+    aug = DataAugmentForTSG(seed=1, aug_percentage=1, mode='shuffle_temporal',
+                            seg_len=8)
+    fstps, nfeats, out = aug.aug_data([10, 20], NFEATS, ramp_video())
+    assert fstps == [10, 20] and nfeats == NFEATS
+    np.testing.assert_array_equal(np.sort(out.reshape(-1)), np.arange(NFEATS))
+
+
+@pytest.mark.parametrize("bad", [0.2, 0, -3, None])
+def test_shuffle_functions_reject_non_integer_seg_len(bad):
+    aug = DataAugmentForTSG(seed=1, aug_percentage=1, mode='shuffle_temporal')
+    for fn in (aug.shuffle_temporal_order_by_short_segments,
+               aug.shuffle_temporal_order_by_short_segments_pad,
+               aug.shuffle_temporal_order_by_short_segments2):
+        with pytest.raises(ValueError, match='seg_len'):
+            fn([10, 20], NFEATS, ramp_video(), bad)

@@ -37,3 +37,14 @@ def test_yaml_wins_over_defaults_cli_wins_over_yaml():
 def test_gpu_id_accepted():
     params = parse_params(['--gpu_id', '3'])
     assert params['gpu_id'] == 3  # accepted (and ignored downstream)
+
+
+@pytest.mark.skipif(not os.path.isfile(CFG), reason="reference cfg missing")
+def test_explicit_flag_at_default_value_beats_yaml():
+    # YAML sets sent_len: 15; the argparse default is 20. Typing
+    # `--sent_len 20` explicitly must override the YAML (presence-tracked
+    # merge, not value comparison).
+    params = parse_params(['--cfg', CFG])
+    assert params['sent_len'] == 15           # YAML wins when flag untyped
+    params2 = parse_params(['--cfg', CFG, '--sent_len', '20'])
+    assert params2['sent_len'] == 20          # explicit flag at its default

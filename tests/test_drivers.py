@@ -87,3 +87,33 @@ def test_resume_from_checkpoint(tiny_env):
     params2, _ = make_params("drv_resume_b", start_from=ckpt, epoch=1)
     stats2 = cli.main_train_baseline(params2)
     assert 0 in stats2["loss"]  # resumed run completes
+
+
+def test_nan_watchdog_fires_with_logging_disabled(tiny_env, monkeypatch):
+    """Failure detection must not depend on batch logging: with
+    batch_log_interval=-1 the unconditional nan_check_interval cadence
+    still catches a non-finite loss, saves the emergency checkpoint, and
+    aborts (VERDICT r1 weak #5)."""
+    import jax.numpy as jnp
+
+    make_params = tiny_env
+    params, runs = make_params("drv_nanwd", batch_log_interval=-1,
+                               nan_check_interval=1)
+    real_maker = cli.make_baseline_train_step
+
+    def nan_maker(model, p, lg):
+        step = real_maker(model, p, lg)
+
+        def bad_step(state, sb, sk):
+            state, metrics = step(state, sb, sk)
+            metrics = dict(metrics)
+            metrics['loss'] = jnp.asarray(np.nan, jnp.float32)
+            return state, metrics
+
+        return bad_step
+
+    monkeypatch.setattr(cli, 'make_baseline_train_step', nan_maker)
+    with pytest.raises(FloatingPointError, match='non-finite'):
+        cli.main_train_baseline(params)
+    assert os.path.isfile(
+        os.path.join(runs, "drv_nanwd", "model", "drv_nanwd_99999.ckp"))

@@ -21,7 +21,7 @@ import numpy as np
 
 from shufflingvideosfortsg_tpu.data.vocab import (
     build_word_vocab, extract_embedding_matrix, glove_txt_to_dict,
-    preprocess_sentence_anet)
+    preprocess_sentence_anet, verify_word_embedding)
 
 
 def collect_sentences(*json_paths):
@@ -45,6 +45,9 @@ def main():
     ap.add_argument('--out_dir', required=True)
     ap.add_argument('--threshold', type=int, default=1)
     ap.add_argument('--seed', type=int, default=0)
+    ap.add_argument('--verify', action='store_true',
+                    help='run the artifact checker on train/test after '
+                         'writing (reference verify_word_embedding)')
     args = ap.parse_args()
 
     os.makedirs(args.out_dir, exist_ok=True)
@@ -62,6 +65,16 @@ def main():
     np.save(os.path.join(args.out_dir, 'ixtoword.npy'), ixtoword)
     np.save(os.path.join(args.out_dir, 'word_glove_fts_init.npy'), emb)
     print('Process over.')
+
+    if args.verify:
+        # reference runs the checker on train then test after writing
+        # (generate_glove_wordembed.py:243-244)
+        for path in (args.train_json, args.test_json):
+            verify_word_embedding(
+                path,
+                os.path.join(args.out_dir, 'wordtoix.npy'),
+                os.path.join(args.out_dir, 'ixtoword.npy'),
+                os.path.join(args.out_dir, 'word_glove_fts_init.npy'))
 
 
 if __name__ == '__main__':

@@ -113,6 +113,48 @@ def glove_txt_to_dict(glove_txt_path: str) -> Dict[str, np.ndarray]:
     return table
 
 
+def verify_word_embedding(annotation_json: str, wordtoix_path: str,
+                          ixtoword_path: str, word_fts_path: str,
+                          max_sentence_len: int = 25) -> Dict[str, float]:
+    """Offline artifact checker (port of the reference's debug verifier,
+    generate_glove_wordembed.py:144-194): preprocess every annotation
+    sentence with the offline (ANet-style) rule, index it against the
+    wordtoix artifact, pad/truncate to ``max_sentence_len``, and look up the
+    embedding rows — exercising the exact artifact access pattern of the
+    training pipeline. Returns {n_sentences, max_len, min_len, mean_len}
+    and raises on inconsistent artifacts instead of just printing."""
+    import json
+
+    wordtoix = np.load(wordtoix_path, allow_pickle=True).tolist()
+    ixtoword = np.load(ixtoword_path, allow_pickle=True).tolist()
+    emb = np.array(np.load(word_fts_path).tolist(), np.float32)
+
+    if len(wordtoix) != len(ixtoword) or emb.shape != (len(wordtoix), 300):
+        raise ValueError(
+            f'inconsistent artifacts: |wordtoix|={len(wordtoix)} '
+            f'|ixtoword|={len(ixtoword)} emb={emb.shape}')
+    # bijection check modulo the index-0 '.'/'#START#' aliasing
+    for w, ix in wordtoix.items():
+        if ix != 0 and ixtoword.get(ix) != w:
+            raise ValueError(f'wordtoix/ixtoword disagree at index {ix}: '
+                             f'{w!r} vs {ixtoword.get(ix)!r}')
+
+    anno = json.load(open(annotation_json))
+    sentences = [preprocess_sentence_anet(s)
+                 for vid in anno for s in anno[vid]['sentences']]
+    idxes = [[wordtoix[w] for w in s.lower().split(' ') if w in wordtoix]
+             for s in sentences]
+    lens = [len(x) for x in idxes]
+    for x in idxes:
+        arr, _ = pad_indices(x, max_sentence_len)
+        _ = emb[arr]  # every index must be a valid embedding row
+    stats = {'n_sentences': len(lens), 'max_len': max(lens),
+             'min_len': min(lens), 'mean_len': sum(lens) / len(lens)}
+    print('Max sentence len: {max_len:d}, Min len: {min_len:d}, '
+          'Mean: {mean_len:.2f}'.format(**stats))
+    return stats
+
+
 def extract_embedding_matrix(glove: Dict[str, np.ndarray],
                              wordtoix: Dict[str, int],
                              ixtoword: Dict[int, str],

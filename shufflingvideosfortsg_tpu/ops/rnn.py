@@ -12,10 +12,13 @@ layer with both directions fused:
   scan, so T steps produce both directions.
 
 Weight layout is cuDNN/torch-compatible (gate order i, f, g, o; per-layer
-``w_ih [D, 4H]``, ``w_hh [H, 4H]``, single fused bias ``b [4H]`` equal to
-torch's ``b_ih + b_hh``), which keeps torch checkpoint conversion a pure
-transpose+add. Initialization matches torch ``nn.LSTM`` (all U(-k, k) with
-k = 1/sqrt(H); the fused bias is the sum of two independent U(-k, k) draws).
+``w_ih [D, 4H]``, ``w_hh [H, 4H]``, and BOTH biases ``b_ih``/``b_hh``
+[4H]), which keeps torch checkpoint conversion a pure transpose and —
+because torch's redundant bias pair receives identical gradients but two
+separate Adam updates — keeps *optimizer dynamics* exactly equal to the
+reference's (verified in tests/test_grad_parity.py). The compute path adds
+them once, so the recurrence cost is unchanged. Initialization matches
+torch ``nn.LSTM`` (all U(-k, k) with k = 1/sqrt(H)).
 """
 
 from __future__ import annotations
@@ -27,16 +30,11 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
-def lstm_uniform_init(hidden_size: int, double_draw: bool = False):
-    """torch nn.LSTM init: U(-1/sqrt(H), 1/sqrt(H)). With ``double_draw``
-    the value is the sum of two independent draws (fused b_ih + b_hh)."""
+def lstm_uniform_init(hidden_size: int):
+    """torch nn.LSTM init: U(-1/sqrt(H), 1/sqrt(H))."""
     k = 1.0 / (hidden_size ** 0.5)
 
     def init(key, shape, dtype=jnp.float32):
-        if double_draw:
-            k1, k2 = jax.random.split(key)
-            return (jax.random.uniform(k1, shape, dtype, -k, k)
-                    + jax.random.uniform(k2, shape, dtype, -k, k))
         return jax.random.uniform(key, shape, dtype, -k, k)
 
     return init
@@ -128,7 +126,13 @@ class BiLSTM(nn.Module):
             D = inputs.shape[-1]
             w_ih = self.param(f'w_ih_l{layer}', lstm_uniform_init(H), (2, D, 4 * H))
             w_hh = self.param(f'w_hh_l{layer}', lstm_uniform_init(H), (2, H, 4 * H))
-            b = self.param(f'b_l{layer}', lstm_uniform_init(H, double_draw=True), (2, 4 * H))
+            # torch keeps two redundant biases; carrying both (added once
+            # here, so zero compute cost) makes Adam updates — which see two
+            # parameters with identical gradients — match the reference's
+            # training dynamics exactly
+            b_ih = self.param(f'b_ih_l{layer}', lstm_uniform_init(H), (2, 4 * H))
+            b_hh = self.param(f'b_hh_l{layer}', lstm_uniform_init(H), (2, 4 * H))
+            b = b_ih + b_hh
 
             # direction 0: natural order; direction 1: time-reversed input
             both = jnp.stack([inputs, inputs[:, ::-1]], axis=0)  # [2, B, T, D]

@@ -6,8 +6,9 @@ The reference saves raw ``model.state_dict()`` files (grounding/train.py:
 
 - ``nn.Linear``: weight [out, in] -> kernel [in, out]; bias unchanged.
 - ``nn.LSTM`` (cuDNN layout): per layer/direction ``weight_ih_l{k}[_reverse]``
-  [4H, D] -> ``w_ih_l{k}`` [2, D, 4H]; the two biases are summed into one
-  fused bias (mathematically identical recurrence).
+  [4H, D] -> ``w_ih_l{k}`` [2, D, 4H]; both biases are kept as separate
+  parameters (``b_ih_l{k}``/``b_hh_l{k}``) so optimizer dynamics and
+  round-trips match the reference exactly.
 - ``nn.LayerNorm``: weight/bias -> scale/bias.
 
 Array-level only: inputs are numpy arrays (callers do ``torch.load`` with
@@ -37,15 +38,16 @@ def bilstm_from_torch(sd: Dict[str, np.ndarray], prefix: str,
     """Convert a bidirectional torch LSTM's tensors under ``{prefix}.``."""
     params: Dict[str, np.ndarray] = {}
     for layer in range(num_layers):
-        w_ih, w_hh, b = [], [], []
+        w_ih, w_hh, b_ih, b_hh = [], [], [], []
         for rev in ("", "_reverse"):
             w_ih.append(sd[f"{prefix}.weight_ih_l{layer}{rev}"].T)
             w_hh.append(sd[f"{prefix}.weight_hh_l{layer}{rev}"].T)
-            b.append(sd[f"{prefix}.bias_ih_l{layer}{rev}"]
-                     + sd[f"{prefix}.bias_hh_l{layer}{rev}"])
+            b_ih.append(sd[f"{prefix}.bias_ih_l{layer}{rev}"])
+            b_hh.append(sd[f"{prefix}.bias_hh_l{layer}{rev}"])
         params[f"w_ih_l{layer}"] = np.ascontiguousarray(np.stack(w_ih, 0))
         params[f"w_hh_l{layer}"] = np.ascontiguousarray(np.stack(w_hh, 0))
-        params[f"b_l{layer}"] = np.stack(b, 0)
+        params[f"b_ih_l{layer}"] = np.stack(b_ih, 0)
+        params[f"b_hh_l{layer}"] = np.stack(b_hh, 0)
     return params
 
 

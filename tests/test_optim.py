@@ -72,7 +72,7 @@ def test_group_weight_mask():
         'encoder': {
             'dense': {'kernel': np.zeros((2, 2)), 'bias': np.zeros(2)},
             'norm': {'scale': np.ones(2), 'bias': np.zeros(2)},
-            'rnn': {'w_ih_l0': np.zeros((2, 2, 8)), 'b_l0': np.zeros((2, 8))},
+            'rnn': {'w_ih_l0': np.zeros((2, 2, 8)), 'b_ih_l0': np.zeros((2, 8))},
         }
     }
     mask = group_weight_mask(tree)
@@ -81,7 +81,7 @@ def test_group_weight_mask():
     assert mask['encoder']['norm']['scale'] is False
     assert mask['encoder']['norm']['bias'] is False
     assert mask['encoder']['rnn']['w_ih_l0'] is True
-    assert mask['encoder']['rnn']['b_l0'] is True  # reference decays RNN biases
+    assert mask['encoder']['rnn']['b_ih_l0'] is True  # reference decays RNN biases
 
 
 def test_grad_clip_applied():

@@ -30,8 +30,8 @@ from .config import DEFAULTS, load_config
 from .data.pipeline import BatchLoader, SentenceGroundingDataset
 from .eval.iou import retrieval_eval
 from .models import build_model
-from .parallel.mesh import (create_mesh, device_prefetch, replicate_tree,
-                            shard_batch)
+from .parallel.mesh import (create_mesh, device_prefetch, host_local_rows,
+                            replicate_tree, shard_batch)
 from .train.state import create_train_state, make_optimizer
 from .train.steps import (make_baseline_eval_step, make_baseline_train_step,
                           make_gmd_test_step, make_gmd_train_step,
@@ -170,6 +170,26 @@ def _avg(metrics_list, key):
     return float(np.mean([float(m[key]) for m in metrics_list]))
 
 
+def _loader_kwargs():
+    """Multi-host data parallelism: each process loads a disjoint 1/Nth
+    stripe of the identically-seeded global shuffle (SURVEY §5 contract);
+    shard_batch assembles the stripes into global arrays."""
+    return dict(process_index=jax.process_index(),
+                process_count=jax.process_count())
+
+
+def _is_proc0() -> bool:
+    return jax.process_index() == 0
+
+
+def _submit_key(base: str) -> str:
+    """Per-host submit shard name on multi-host runs (each host holds a
+    disjoint stripe of predictions); tools/merge_submits.py recombines."""
+    if jax.process_count() > 1:
+        return f'{base}.part{jax.process_index()}'
+    return base
+
+
 
 def _check_finite(metrics, state, saver, key, logger, epoch, idx):
     """Failure detection: a non-finite loss aborts with an emergency
@@ -199,9 +219,10 @@ def main_train(params: Dict[str, Any]) -> Dict[str, Any]:
     train_set = make_dataset(params, 'train_data', 'train_featpath', 'train')
     valid_set = make_dataset(params, 'val_data', 'valid_featpath', 'valid')
     train_loader = BatchLoader(train_set, params['batch_size'][0],
-                               shuffle=True, seed=params.get('seed', 123))
+                               shuffle=True, seed=params.get('seed', 123),
+                               **_loader_kwargs())
     valid_loader = BatchLoader(valid_set, params['batch_size'][2],
-                               shuffle=False)
+                               shuffle=False, **_loader_kwargs())
 
     key = jax.random.PRNGKey(params.get('seed', 123))
     key, init_key = jax.random.split(key)
@@ -277,8 +298,8 @@ def main_train(params: Dict[str, Any]) -> Dict[str, Any]:
             statistics['mIoU'][step_epoch] = round(miou * 100, 2)
             saver.log_metrics({'epoch': step_epoch, 'phase': 'valid',
                                'miou': miou})
-        if (step_epoch + 1) % params['save_model_interval'] == 0 \
-                or (step_epoch + 1) == params['epoch']:
+        if ((step_epoch + 1) % params['save_model_interval'] == 0
+                or (step_epoch + 1) == params['epoch']) and _is_proc0():
             path = saver.save_checkpoint(step_epoch, state, key)
             logger.info('Save model in %s', path)
 
@@ -294,14 +315,17 @@ def run_valid(valid_step, state, loader, dataset, params, logger, epoch,
     for idx, batch in enumerate(loader):
         key, sk = jax.random.split(key)
         sb = shard_batch(mesh, batch)
-        out = jax.device_get(valid_step(state.params, sb, sk))
-        all_metrics.append({k: out[k] for k in
+        out = valid_step(state.params, sb, sk)
+        all_metrics.append({k: float(host_local_rows(out[k])) for k in
                             ('loss', 'loss_g', 'loss_intra', 'loss_inter',
                              'miou')})
-        # frame->seconds conversion already happened in-step (_stats)
-        _collect_predictions(pred_dict, batch, out['pred_time'], out['score'])
+        # frame->seconds conversion already happened in-step (_stats);
+        # on multi-host each process collects its own stripe's rows
+        _collect_predictions(pred_dict, batch,
+                             host_local_rows(out['pred_time']),
+                             host_local_rows(out['score']))
     if saver is not None:
-        saver.save_submits(pred_dict, epoch)
+        saver.save_submits(pred_dict, epoch, _submit_key('val_data'))
     miou = _avg(all_metrics, 'miou')
     logger.info('epoch [%03d]: elapsed time:%0.4fs, avg loss: %03.3f, '
                 'miou: %03.3f avg loss_g: %03.3f, avg loss_m1: %03.3f, '
@@ -334,7 +358,8 @@ def main_test(params: Dict[str, Any]) -> str:
 
     model = build_model(params, 'gmd', inference=True)
     test_set = make_dataset(params, 'test_data', 'test_featpath', 'test')
-    test_loader = BatchLoader(test_set, params['batch_size'][0], shuffle=False)
+    test_loader = BatchLoader(test_set, params['batch_size'][0],
+                              shuffle=False, **_loader_kwargs())
 
     key = jax.random.PRNGKey(params.get('seed', 123))
     model_params = init_model_params(model, params, key, 'gmd')
@@ -356,7 +381,11 @@ def main_test(params: Dict[str, Any]) -> str:
     for idx, batch in enumerate(test_loader):
         t_b = time.time()
         sb = shard_batch(mesh, batch)
-        out = jax.device_get(test_step(model_params, sb))
+        out = test_step(model_params, sb)
+        out = {'loss': float(host_local_rows(out['loss'])),
+               'miou': float(host_local_rows(out['miou'])),
+               'pred_time': host_local_rows(out['pred_time']),
+               'score': host_local_rows(out['score'])}
         losses.append(float(out['loss']))
         mious.append(float(out['miou']))
         if params['batch_log_interval'] != -1 and \
@@ -366,10 +395,13 @@ def main_test(params: Dict[str, Any]) -> str:
                         len(test_loader), time.time() - t_b, out['loss'],
                         out['miou'])
         _collect_predictions(pred_dict, batch, out['pred_time'], out['score'])
-    submit = saver.save_submits(pred_dict, 0, 'test_data')
+    submit = saver.save_submits(pred_dict, 0, _submit_key('test_data'))
     logger.info('epoch [%03d]: elapsed time:%0.4fs, avg loss: %03.3f, '
                 'miou: %03.3f', 0, time.time() - t0,
                 float(np.mean(losses)), float(np.mean(mious)))
+    # on a multi-host run each shard's table covers this host's stripe;
+    # merge the .partN submit shards offline (tools/merge_submits.py) for
+    # the global table
     retrieval_eval(submit)
     return submit
 
@@ -388,9 +420,10 @@ def main_train_baseline(params: Dict[str, Any]) -> Dict[str, Any]:
     train_set = make_dataset(params, 'train_data', 'train_featpath', 'train')
     valid_set = make_dataset(params, 'val_data', 'valid_featpath', 'valid')
     train_loader = BatchLoader(train_set, params['batch_size'][0],
-                               shuffle=True, seed=params.get('seed', 123))
+                               shuffle=True, seed=params.get('seed', 123),
+                               **_loader_kwargs())
     valid_loader = BatchLoader(valid_set, params['batch_size'][2],
-                               shuffle=False)
+                               shuffle=False, **_loader_kwargs())
 
     key = jax.random.PRNGKey(params.get('seed', 123))
     key, init_key = jax.random.split(key)
@@ -451,8 +484,8 @@ def main_train_baseline(params: Dict[str, Any]) -> Dict[str, Any]:
                                     params, logger, step_epoch, saver, mesh,
                                     'val_data')
             statistics['mIoU'][step_epoch] = round(miou * 100, 2)
-        if (step_epoch + 1) % params['save_model_interval'] == 0 \
-                or (step_epoch + 1) == params['epoch']:
+        if ((step_epoch + 1) % params['save_model_interval'] == 0
+                or (step_epoch + 1) == params['epoch']) and _is_proc0():
             path = saver.save_checkpoint(step_epoch, state, key)
             logger.info('Save model in %s', path)
     _print_statistics(statistics)
@@ -466,12 +499,14 @@ def run_eval_collect(eval_step, model_params, loader, params, logger, epoch,
     losses, mious = [], []
     for batch in loader:
         sb = shard_batch(mesh, batch)
-        out = jax.device_get(eval_step(model_params, sb))
-        losses.append(float(out['loss']))
-        mious.append(float(out['miou']))
-        _collect_predictions(pred_dict, batch, out['pred_time'], out['score'])
+        out = eval_step(model_params, sb)
+        losses.append(float(host_local_rows(out['loss'])))
+        mious.append(float(host_local_rows(out['miou'])))
+        _collect_predictions(pred_dict, batch,
+                             host_local_rows(out['pred_time']),
+                             host_local_rows(out['score']))
     if saver is not None:
-        saver.save_submits(pred_dict, epoch, submit_key)
+        saver.save_submits(pred_dict, epoch, _submit_key(submit_key))
     miou = float(np.mean(mious))
     logger.info('epoch [%03d]: elapsed time:%0.4fs, avg loss: %03.3f, '
                 'miou: %03.3f', epoch, time.time() - t0,
@@ -487,7 +522,8 @@ def main_test_baseline(params: Dict[str, Any]) -> str:
 
     model = build_model(params, 'baseline', inference=True)
     test_set = make_dataset(params, 'test_data', 'test_featpath', 'test')
-    test_loader = BatchLoader(test_set, params['batch_size'][0], shuffle=False)
+    test_loader = BatchLoader(test_set, params['batch_size'][0],
+                              shuffle=False, **_loader_kwargs())
 
     key = jax.random.PRNGKey(params.get('seed', 123))
     model_params = init_model_params(model, params, key, 'baseline')
@@ -507,11 +543,13 @@ def main_test_baseline(params: Dict[str, Any]) -> str:
     losses, mious = [], []
     for idx, batch in enumerate(test_loader):
         sb = shard_batch(mesh, batch)
-        out = jax.device_get(eval_step(model_params, sb))
-        losses.append(float(out['loss']))
-        mious.append(float(out['miou']))
-        _collect_predictions(pred_dict, batch, out['pred_time'], out['score'])
-    submit = saver.save_submits(pred_dict, 0, 'test_data')
+        out = eval_step(model_params, sb)
+        losses.append(float(host_local_rows(out['loss'])))
+        mious.append(float(host_local_rows(out['miou'])))
+        _collect_predictions(pred_dict, batch,
+                             host_local_rows(out['pred_time']),
+                             host_local_rows(out['score']))
+    submit = saver.save_submits(pred_dict, 0, _submit_key('test_data'))
     logger.info('epoch [%03d]: elapsed time:%0.4fs, avg loss: %03.3f, '
                 'miou: %03.3f', 0, time.time() - t0,
                 float(np.mean(losses)), float(np.mean(mious)))

@@ -47,10 +47,38 @@ _HOST_KEYS = ('vid', 'sentence', 'n_valid')
 def shard_batch(mesh: Mesh, batch: Dict[str, Any]) -> Dict[str, Any]:
     """Device-put array members batch-sharded along the data axis. Host-only
     members (strings, counts) are dropped — they stay on the original numpy
-    batch dict, keeping the returned dict jit-consumable."""
+    batch dict, keeping the returned dict jit-consumable.
+
+    Multi-host (``jax.process_count() > 1``): the batch dict holds this
+    process's LOCAL stripe (BatchLoader with process_index/process_count);
+    global arrays of shape [B_local * P, ...] are assembled with
+    ``jax.make_array_from_process_local_data`` — the SURVEY §5 input-pipeline
+    contract. Rows land in process-major device order, so the global batch is
+    the concatenation of the per-host stripes.
+    """
     sharding = batch_sharding(mesh)
-    return {k: jax.device_put(np.asarray(v), sharding)
-            for k, v in batch.items() if k not in _HOST_KEYS}
+    multihost = jax.process_count() > 1
+    out: Dict[str, Any] = {}
+    for k, v in batch.items():
+        if k in _HOST_KEYS:
+            continue
+        arr = np.asarray(v)
+        if multihost:
+            out[k] = jax.make_array_from_process_local_data(sharding, arr)
+        else:
+            out[k] = jax.device_put(arr, sharding)
+    return out
+
+
+def host_local_rows(x) -> np.ndarray:
+    """This process's rows of a batch-sharded global array, in device order
+    (the inverse of the ``make_array_from_process_local_data`` assembly).
+    Fully-replicated arrays (scalars, psum'd metrics) fetch directly."""
+    if not isinstance(x, jax.Array) or x.is_fully_replicated:
+        return np.asarray(jax.device_get(x))
+    shards = sorted(x.addressable_shards,
+                    key=lambda s: s.index[0].start or 0)
+    return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
 
 
 def replicate_tree(mesh: Mesh, tree):

@@ -33,9 +33,16 @@ class RunManager:
         self.root_folder = os.path.join(params['runs'], params['alias'])
         self.model_folder = os.path.join(self.root_folder, 'model')
         self.submits_folder = os.path.join(self.root_folder, 'submits')
-        self._init_dirs()
-        with open(os.path.join(self.root_folder, 'params.json'), 'w') as f:
-            json.dump(_jsonable(params), f)
+        # multi-host: only process 0 owns run-dir lifecycle (alias
+        # strictness, params.json); other hosts just ensure the dirs exist
+        # (shared filesystem) so their submit shards have a home
+        if jax.process_index() == 0:
+            self._init_dirs()
+            with open(os.path.join(self.root_folder, 'params.json'), 'w') as f:
+                json.dump(_jsonable(params), f)
+        else:
+            os.makedirs(self.model_folder, exist_ok=True)
+            os.makedirs(self.submits_folder, exist_ok=True)
 
     def _init_dirs(self):
         if os.path.exists(self.root_folder):

@@ -1,0 +1,33 @@
+"""Multi-host data parallelism: the per-host BatchLoader stripes +
+jax.make_array_from_process_local_data assembly must produce the same
+one-step training loss as a single process over the identical global batch
+(SURVEY §5 input-pipeline contract; VERDICT r1 missing #2).
+
+Runs tools/dryrun_multihost.py: 2 jax.distributed CPU processes x 2 virtual
+devices vs a 1-process 4-device oracle."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ANNO = "/root/reference/data/Charades-CD/charades_val.json"
+
+
+@pytest.mark.skipif(not os.path.isfile(ANNO),
+                    reason="reference annotations unavailable")
+def test_multihost_one_step_loss_matches_single_process():
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, 'tools/dryrun_multihost.py')],
+        capture_output=True, text=True, timeout=880)
+    assert proc.returncode == 0, proc.stdout + proc.stderr[-4000:]
+    line = [l for l in proc.stdout.splitlines()
+            if l.startswith('dryrun_multihost ok:')]
+    assert line, proc.stdout
+    result = json.loads(line[0].split('ok:', 1)[1])
+    assert result['ok']
+    assert result['spread'] < 1e-5       # all hosts agree (psum)
+    assert result['diff'] < 1e-4         # multi-host == single-process

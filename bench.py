@@ -1,14 +1,20 @@
 #!/usr/bin/env python3
-"""Benchmark: Charades-CD eval-configuration throughput on one TPU chip.
+"""Benchmark: headline throughput numbers on one TPU chip.
 
-Measures query-sentences/second through the flagship GMD eval path
-(QAVE encoder -> CSMM gate -> span head -> on-device span decode) at the
-reference eval configuration (T=128, D=1024, N=15), reporting against the
-reference GPU figure of 676 sent/s (BASELINE.md: 3375 sentences / 4.99 s,
-grounding/ckp/charades_cd/test.log).
+Default (`--mode all`) measures and prints one JSON line per headline
+number, in this order:
+  1. anet_cd_train_pairs_per_sec_per_chip   (vs 78 pairs/s GPU baseline)
+  2. multi_query_serving_queries_per_sec_T1024
+  3. anet_cd_eval_sentences_per_sec_per_chip     (vs 386 sent/s)
+  4. charades_cd_eval_sentences_per_sec_per_chip (vs 676 sent/s) — the
+     flagship metric, printed LAST so tail parsers pick it up.
 
-Prints ONE JSON line:
+Each line has the schema:
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Single modes are available via --mode eval|train|serve (+ --dataset for
+eval). Baselines come from the reference's bundled logs (BASELINE.md,
+grounding/ckp/*/test.log + train.log).
 """
 
 import argparse
@@ -48,7 +54,9 @@ def bench_train(args):
         'video_len': 240, 'sent_len': 25, 'video_feature_dim': 1024,
         'precision': args.precision})
     model = build_model(params, 'gmd')
-    B, T, N, Dv = args.batch, 240, 25, 1024
+    # B=64 is the measured throughput sweet spot for the train step (B=512
+    # OOMs HBM with the backward's [L,dir,B,T,H] saved activations)
+    B, T, N, Dv = args.train_batch, 240, 25, 1024
     rng = np.random.RandomState(0)
     s = rng.randint(0, T - 30, B).astype(np.int32)
     e = (s + rng.randint(5, 25, B)).astype(np.int32)
@@ -93,7 +101,7 @@ def bench_train(args):
         'value': round(pairs_per_s, 1),
         'unit': 'pairs/s',
         'vs_baseline': round(pairs_per_s / 78.0, 2),
-    }))
+    }), flush=True)
 
 
 def bench_serve(args):
@@ -133,35 +141,16 @@ def bench_serve(args):
         'value': round(qps, 1),
         'unit': 'queries/s',
         'vs_baseline': round(qps / BASELINE_SENT_PER_S, 2),
-    }))
+    }), flush=True)
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument('--mode', default='eval', choices=['eval', 'train', 'serve'])
-    ap.add_argument('--serve-video-len', type=int, default=1024)
-    ap.add_argument('--batch', type=int, default=512)
-    ap.add_argument('--iters', type=int, default=30)
-    ap.add_argument('--warmup', type=int, default=5)
-    ap.add_argument('--precision', default='bf16', choices=['f32', 'bf16'])
-    ap.add_argument('--dataset', default='charades', choices=sorted(EVAL_CONFIGS),
-                    help='eval-mode configuration: charades (T=128, ref 676 '
-                         'sent/s) or anet (T=240, ref 386 sent/s)')
-    ap.add_argument('--total-sentences', type=int, default=3375,
-                    help='simulate the full Charades-CD ood eval size')
-    args = ap.parse_args()
-    if args.mode == 'train':
-        bench_train(args)
-        return
-    if args.mode == 'serve':
-        bench_serve(args)
-        return
-
+def bench_eval(args, dataset=None):
     from shufflingvideosfortsg_tpu.config import load_config
     from shufflingvideosfortsg_tpu.models import build_model
     from shufflingvideosfortsg_tpu.ops.span import span_decode
 
-    T, N, baseline = EVAL_CONFIGS[args.dataset]
+    dataset = dataset or args.dataset
+    T, N, baseline = EVAL_CONFIGS[dataset]
     params = load_config(None, overrides={
         'video_len': T, 'sent_len': N, 'video_feature_dim': 1024,
         'precision': args.precision})
@@ -203,11 +192,42 @@ def main():
 
     sent_per_s = args.iters * B / dt
     print(json.dumps({
-        'metric': f'{args.dataset}_cd_eval_sentences_per_sec_per_chip',
+        'metric': f'{dataset}_cd_eval_sentences_per_sec_per_chip',
         'value': round(sent_per_s, 1),
         'unit': 'sentences/s',
         'vs_baseline': round(sent_per_s / baseline, 2),
-    }))
+    }), flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--mode', default='all',
+                    choices=['all', 'eval', 'train', 'serve'])
+    ap.add_argument('--serve-video-len', type=int, default=1024)
+    ap.add_argument('--batch', type=int, default=512)
+    ap.add_argument('--train-batch', type=int, default=64,
+                    help='batch for --mode train/all training measurement')
+    ap.add_argument('--iters', type=int, default=30)
+    ap.add_argument('--warmup', type=int, default=5)
+    ap.add_argument('--precision', default='bf16', choices=['f32', 'bf16'])
+    ap.add_argument('--dataset', default='charades', choices=sorted(EVAL_CONFIGS),
+                    help='eval-mode configuration: charades (T=128, ref 676 '
+                         'sent/s) or anet (T=240, ref 386 sent/s)')
+    ap.add_argument('--total-sentences', type=int, default=3375,
+                    help='simulate the full Charades-CD ood eval size')
+    args = ap.parse_args()
+    if args.mode == 'all':
+        # all four headline numbers; the flagship charades eval line last
+        bench_train(args)
+        bench_serve(args)
+        bench_eval(args, 'anet')
+        bench_eval(args, 'charades')
+    elif args.mode == 'train':
+        bench_train(args)
+    elif args.mode == 'serve':
+        bench_serve(args)
+    else:
+        bench_eval(args)
 
 
 if __name__ == '__main__':

@@ -147,6 +147,26 @@ int fp_gather(void* handle, const int64_t* indices, int64_t batch,
   return 0;
 }
 
+// Gather B videos' features into out[B, T, D] in the pack's STORED dtype
+// (f16 stays f16) — a pure parallel memcpy. Used for the raw host->device
+// path: shipping f16 halves H2D bytes and the cast runs on device.
+int fp_gather_raw(void* handle, const int64_t* indices, int64_t batch,
+                  void* out) {
+  Pack* p = (Pack*)handle;
+  const size_t vb = p->video_bytes;
+  uint8_t* out8 = (uint8_t*)out;
+#pragma omp parallel for schedule(static)
+  for (int64_t b = 0; b < batch; ++b) {
+    int64_t idx = indices[b];
+    if (idx < 0 || (uint32_t)idx >= p->header.num_videos) {
+      std::memset(out8 + (size_t)b * vb, 0, vb);
+      continue;
+    }
+    std::memcpy(out8 + (size_t)b * vb, p->data + (size_t)idx * vb, vb);
+  }
+  return 0;
+}
+
 int fp_close(void* handle) {
   Pack* p = (Pack*)handle;
   if (p->base) munmap((void*)p->base, p->size);

@@ -108,6 +108,8 @@ DEFAULTS: Dict[str, Any] = {
     "host_prefetch": 2,           # batches prefetched to device
     "on_device_aug": True,        # pseudo-video permutation inside train_step
     "nan_check_interval": 100,    # unconditional finite-loss watchdog cadence
+    "h2d_dtype": "raw",           # 'raw': ship f16 packs as f16 host->device
+                                  # (half the H2D bytes); 'f32': legacy upcast
     "aug_seg_len": None,          # segment length for shuffle_temporal modes
 }
 

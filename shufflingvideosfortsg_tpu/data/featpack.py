@@ -48,6 +48,13 @@ def _load_native() -> Optional[ctypes.CDLL]:
                                   ctypes.c_int64,
                                   ctypes.POINTER(ctypes.c_float)]
         lib.fp_gather.restype = ctypes.c_int
+        try:
+            lib.fp_gather_raw.argtypes = [ctypes.c_void_p,
+                                          ctypes.POINTER(ctypes.c_int64),
+                                          ctypes.c_int64, ctypes.c_void_p]
+            lib.fp_gather_raw.restype = ctypes.c_int
+        except AttributeError:
+            pass  # older .so without the raw entry point: python fallback
         lib.fp_close.argtypes = [ctypes.c_void_p]
         lib.fp_close.restype = ctypes.c_int
         return lib
@@ -113,6 +120,32 @@ class PackedFeatureSource:
                 out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
         else:
             out[:] = self._mm[rows].astype(np.float32)
+        return out
+
+    @property
+    def raw_dtype(self) -> np.dtype:
+        return np.dtype(np.float16 if self.dtype == 'f16' else np.float32)
+
+    def gather_raw(self, rows: np.ndarray,
+                   out: Optional[np.ndarray] = None) -> np.ndarray:
+        """[B, T, D] batch in the pack's STORED dtype (no f16->f32 host
+        conversion). Shipping the f16 bytes host->device halves H2D traffic;
+        the upcast happens on device (the model casts inputs to its compute
+        dtype anyway)."""
+        rows = np.ascontiguousarray(rows, np.int64)
+        B = len(rows)
+        if out is None:
+            out = np.empty((B, self.T, self.D), self.raw_dtype)
+        if self._handle is not None and hasattr(_NATIVE, 'fp_gather_raw'):
+            _NATIVE.fp_gather_raw(
+                self._handle,
+                rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                ctypes.c_int64(B), out.ctypes.data_as(ctypes.c_void_p))
+        elif self._handle is not None:
+            # native lib without the raw symbol: f32 gather then downcast
+            out[:] = self.gather(rows).astype(self.raw_dtype)
+        else:
+            out[:] = self._mm[rows]
         return out
 
     def nfeats_for(self, rows: np.ndarray) -> np.ndarray:

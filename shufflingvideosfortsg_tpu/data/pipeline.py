@@ -309,9 +309,16 @@ class BatchLoader:
                    for i in chunk]
         batch = collate(records, n_valid)
         if 'pack_row' in batch:
-            # one parallel native gather assembles the whole video batch
-            batch['video_feat'] = self.dataset.pack.gather(
-                batch.pop('pack_row'))
+            # one parallel native gather assembles the whole video batch;
+            # f16 packs ship raw (half the H2D bytes, upcast on device)
+            # unless h2d_dtype forces f32
+            pack = self.dataset.pack
+            rows = batch.pop('pack_row')
+            if pack.dtype == 'f16' and \
+                    self.dataset.params.get('h2d_dtype', 'raw') == 'raw':
+                batch['video_feat'] = pack.gather_raw(rows)
+            else:
+                batch['video_feat'] = pack.gather(rows)
         if self.embed_tokens:
             # [B, N] ids -> [B, N, 300] GloVe rows (pad id 0 = '.' embedding,
             # exactly like the reference's word_emb_init gather)

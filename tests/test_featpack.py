@@ -97,3 +97,46 @@ def test_pack_host_aug_path(packed):
     assert b["video_feat"].shape[0] == 8  # per-sample gather fallback works
     s, e = b["framestps"][0]
     assert b["temporal_labels"][0][s:e + 1].sum() == e - s + 1
+
+
+@pytest.fixture(scope="module")
+def packed_f16(packed, tmp_path_factory):
+    feat_dir, _ = packed
+    pack_dir = str(tmp_path_factory.mktemp("pack16"))
+    env = dict(os.environ, SVTSG_PLATFORM="cpu")
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools/featpack.py"),
+         "--cfg", os.path.join(REPO, "cfgs/charades_cd_i3d.yml"),
+         "--annotation", ANNO, "--featpath", feat_dir, "--out", pack_dir,
+         "--dtype", "f16", "--data_root", "/root/reference/data"],
+        check=True, capture_output=True, env=env)
+    return feat_dir, pack_dir
+
+
+def test_gather_raw_f16(packed_f16):
+    """gather_raw ships the pack's stored dtype unconverted (the halved-H2D
+    path); the f32 gather is exactly its upcast; native and numpy agree."""
+    _, pack_dir = packed_f16
+    src = PackedFeatureSource(pack_dir, use_native=True)
+    src_np = PackedFeatureSource(pack_dir, use_native=False)
+    rows = np.arange(min(16, src.num_videos), dtype=np.int64)
+    raw = src.gather_raw(rows)
+    assert raw.dtype == np.float16
+    np.testing.assert_array_equal(raw, src_np.gather_raw(rows))
+    np.testing.assert_array_equal(raw.astype(np.float32), src.gather(rows))
+
+
+def test_pipeline_ships_f16_when_raw(packed_f16):
+    feat_dir, pack_dir = packed_f16
+    params = _params(feat_dir)
+    assert params.get('h2d_dtype', 'raw') == 'raw'
+    ds = SentenceGroundingDataset(ANNO, pack_dir, params, "charades")
+    b = next(iter(BatchLoader(ds, 8, shuffle=False, prefetch=0)))
+    assert b["video_feat"].dtype == np.float16
+
+    params_f32 = dict(params, h2d_dtype='f32')
+    ds32 = SentenceGroundingDataset(ANNO, pack_dir, params_f32, "charades")
+    b32 = next(iter(BatchLoader(ds32, 8, shuffle=False, prefetch=0)))
+    assert b32["video_feat"].dtype == np.float32
+    np.testing.assert_array_equal(
+        b["video_feat"].astype(np.float32), b32["video_feat"])

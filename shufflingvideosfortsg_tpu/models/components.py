@@ -241,13 +241,10 @@ class QueryAwareEncoder(nn.Module):
     def block0_rnn(self, video_feat: jnp.ndarray) -> jnp.ndarray:
         """Query-independent block-0 recurrence for a resident video.
 
-        video_feat: [1, T, D]. The fused kernel needs a sublane-aligned
-        batch, so the single video is tiled to 8 rows (8x the FLOPs but
-        ~7x faster than the B=1 lax.scan fallback at T>=1024)."""
-        if self.fused:
-            tiled = jnp.broadcast_to(video_feat,
-                                     (8,) + video_feat.shape[1:])
-            return self.blocks[0].run_rnn(tiled)[:1]
+        video_feat: [1, T, D]. BiLSTM handles the kernel's sublane
+        alignment internally (the input projection runs at true B=1, only
+        the recurrence's xw rows are zero-padded to 8 — the sublanes the
+        hardware computes regardless), so no host-side tiling is needed."""
         return self.blocks[0].run_rnn(video_feat)
 
     def shared_video_from_rnn0(self, rnn0: jnp.ndarray,

@@ -326,11 +326,11 @@ def lstm_scan_pallas(xw: jnp.ndarray, w_hh: jnp.ndarray,
             jax.ShapeDtypeStruct((2, 2, B, H), jnp.float32),
         ),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # xw stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),   # xw stays in HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),  # w_hh resident
         ],
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
@@ -367,12 +367,12 @@ def lstm_scan_pallas_train(xw, w_hh, interpret: bool = False):
             jax.ShapeDtypeStruct((2, 2, B, H), jnp.float32),
         ),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
@@ -406,15 +406,15 @@ def lstm_scan_pallas_bwd(xw, w_hh, out_h, c_seq, d_out, d_hT, d_cT,
             jax.ShapeDtypeStruct((2, H, H4), jnp.float32),
         ),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # xw
+            pl.BlockSpec(memory_space=pl.ANY),   # xw
             pl.BlockSpec(memory_space=pltpu.VMEM),  # w_hh
-            pl.BlockSpec(memory_space=pltpu.ANY),   # out_h
-            pl.BlockSpec(memory_space=pltpu.ANY),   # c_seq
-            pl.BlockSpec(memory_space=pltpu.ANY),   # d_out
+            pl.BlockSpec(memory_space=pl.ANY),   # out_h
+            pl.BlockSpec(memory_space=pl.ANY),   # c_seq
+            pl.BlockSpec(memory_space=pl.ANY),   # d_out
             pl.BlockSpec(memory_space=pltpu.VMEM),  # dhc
         ],
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.ANY),   # dxw
+            pl.BlockSpec(memory_space=pl.ANY),   # dxw
             pl.BlockSpec(memory_space=pltpu.VMEM),  # dw
         ),
         scratch_shapes=[

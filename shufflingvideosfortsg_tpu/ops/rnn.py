@@ -143,23 +143,30 @@ class BiLSTM(nn.Module):
 
             mode = self.fused
             itemsize = jnp.dtype(self.dtype).itemsize
-            if mode and B % 8 != 0:
-                mode = False  # Mosaic sublane tiling needs aligned batch
+            # Mosaic needs a sublane-aligned batch: pad xw with zero rows to
+            # the next multiple of 8 AFTER the input projection (so the
+            # projection matmul runs at the true B) and slice the outputs
+            # back. The hardware computes those sublanes regardless, so this
+            # is strictly cheaper than the old behaviors (silent lax.scan
+            # fallback for B%8!=0; 8x-tiled projection for serving B=1).
+            B8 = -(-B // 8) * 8
             if mode == 'train' and \
-                    _bwd_kernel_vmem_bytes(B, H, itemsize) > 14 * (1 << 20):
+                    _bwd_kernel_vmem_bytes(B8, H, itemsize) > 14 * (1 << 20):
                 mode = False  # over VMEM budget -> differentiable scan
-            kernel_B = B
+            kernel_B = B8
             if mode in (True, 'eval'):
                 # batches beyond the kernel's VMEM budget run as several
                 # kernel calls over equal batch chunks (still ~2.5x the
                 # scan per chunk)
                 while kernel_B > 8 and (
                         _eval_kernel_vmem_bytes(kernel_B, H, itemsize)
-                        > 14 * (1 << 20) or B % kernel_B or kernel_B % 8):
+                        > 14 * (1 << 20) or B8 % kernel_B or kernel_B % 8):
                     kernel_B -= 8
                 if _eval_kernel_vmem_bytes(kernel_B, H, itemsize) \
                         > 14 * (1 << 20):
                     mode = False  # even one 8-row chunk won't fit
+            if mode and B8 != B:
+                xw = jnp.pad(xw, ((0, 0), (0, 0), (0, B8 - B), (0, 0)))
             if mode == 'train':
                 from .pallas.lstm_scan import lstm_scan_fused
                 out, h_f, c_f = lstm_scan_fused(xw, w_hh.astype(self.dtype))
@@ -169,19 +176,23 @@ class BiLSTM(nn.Module):
             elif mode in (True, 'eval'):
                 from .pallas.lstm_scan import lstm_scan_pallas
                 w_c = w_hh.astype(self.dtype)
-                if kernel_B == B:
+                if kernel_B == B8:
                     out, h_f, c_f = lstm_scan_pallas(xw, w_c)
                 else:
                     parts = [lstm_scan_pallas(
                         xw[:, :, b0:b0 + kernel_B], w_c)
-                        for b0 in range(0, B, kernel_B)]
+                        for b0 in range(0, B8, kernel_B)]
                     out = jnp.concatenate([p[0] for p in parts], axis=2)
                     h_f = jnp.concatenate([p[1] for p in parts], axis=1)
                     c_f = jnp.concatenate([p[2] for p in parts], axis=1)
                 out = out.astype(self.dtype)
                 h_f = h_f.astype(self.dtype)
                 c_f = c_f.astype(self.dtype)
-            else:
+            if mode and B8 != B:
+                out = out[:, :, :B]
+                h_f = h_f[:, :B]
+                c_f = c_f[:, :B]
+            if not mode:
                 h0 = jnp.zeros((2, B, H), self.dtype)
                 c0 = jnp.zeros((2, B, H), self.dtype)
                 out, (h_f, c_f) = _lstm_scan(xw, w_hh.astype(self.dtype),

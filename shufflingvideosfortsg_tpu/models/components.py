@@ -247,16 +247,22 @@ class QueryAwareEncoder(nn.Module):
         hardware computes regardless), so no host-side tiling is needed."""
         return self.blocks[0].run_rnn(video_feat)
 
+    def finish_from_rnn0(self, rnn0: jnp.ndarray,
+                         word_feat: jnp.ndarray) -> jnp.ndarray:
+        """Query-dependent completion given per-query block-0 recurrences
+        rnn0 [Q, T, 2H] (possibly gathered from a multi-video bank)."""
+        residual = self.blocks[0].apply_gate(rnn0, word_feat)
+        for block in self.blocks[1:]:
+            residual = block(residual, word_feat)
+        return self.norm(residual)
+
     def shared_video_from_rnn0(self, rnn0: jnp.ndarray,
                                word_feat: jnp.ndarray) -> jnp.ndarray:
         """Finish the encoder given a precomputed block-0 recurrence
         (see :meth:`block0_rnn`); everything here is query-dependent."""
         Q = word_feat.shape[0]
-        rnn0 = jnp.broadcast_to(rnn0, (Q,) + rnn0.shape[1:])
-        residual = self.blocks[0].apply_gate(rnn0, word_feat)
-        for block in self.blocks[1:]:
-            residual = block(residual, word_feat)
-        return self.norm(residual)
+        return self.finish_from_rnn0(
+            jnp.broadcast_to(rnn0, (Q,) + rnn0.shape[1:]), word_feat)
 
     def shared_video(self, video_feat: jnp.ndarray, word_feat: jnp.ndarray
                      ) -> jnp.ndarray:

@@ -136,10 +136,36 @@ class GMD(nn.Module):
         return {'start_prob': start_prob, 'end_prob': end_prob,
                 'match_prob': match_prob}
 
+    def serve_cached_multi(self, rnn0_bank: jnp.ndarray,
+                           query_feat: jnp.ndarray,
+                           video_ids: jnp.ndarray
+                           ) -> Dict[str, jnp.ndarray]:
+        """Multi-resident-video serving: a bank of precomputed block-0
+        recurrences [V, T, 2H] (one :meth:`precompute_video` pass over a
+        [V, T, D] stack) serves mixed query traffic — query i grounds
+        against video ``video_ids[i]``. The per-query gather replaces the
+        single-video broadcast, everything downstream is identical."""
+        word_feat, sent_embed = self.sentence_encoder(query_feat, True)
+        rnn0_q = rnn0_bank[video_ids]
+        if hasattr(self.video_encoder, 'finish_from_rnn0'):
+            frame_feat = self.video_encoder.finish_from_rnn0(rnn0_q,
+                                                             word_feat)
+        else:
+            frame_feat = self.video_encoder(rnn0_q, word_feat, True)
+        cross_feat = cmi_apply(self.cross_name, frame_feat, word_feat,
+                               sent_embed)
+        match_prob, _ = self.csmm(frame_feat, sent_embed, None, True)
+        gated_feat = match_prob[:, :, None] * cross_feat
+        start_prob, end_prob = self.span_predictor(gated_feat, v_mask=None,
+                                                   deterministic=True)
+        return {'start_prob': start_prob, 'end_prob': end_prob,
+                'match_prob': match_prob}
+
     def precompute_video(self, video_feat: jnp.ndarray) -> jnp.ndarray:
         """Query-independent part of the serving encoder (block-0
-        recurrence) for a resident [1, T, D] video — compute once per
-        video, reuse across every query batch."""
+        recurrence) for resident [V, T, D] video(s) — compute once per
+        video, reuse across every query batch (V=1 for the single-video
+        path; any V for a :meth:`serve_cached_multi` bank)."""
         if hasattr(self.video_encoder, 'block0_rnn'):
             return self.video_encoder.block0_rnn(video_feat)
         return video_feat

@@ -39,7 +39,8 @@ NBUF = 3  # xw prefetch depth (VMEM budget: NBUF*2*B*4H*2B <= ~6MB at B=512)
 
 def _lstm_kernel(xw_hbm, w_hh_ref, out_hbm, hc_out_ref,
                  h_ref, c_ref, xw_buf, out_buf,
-                 in_sem, out_sem, T: int, CHUNK: int):
+                 in_sem, out_sem, T: int, CHUNK: int,
+                 gates_bf16: bool = False):
     """One program runs the full T-step recurrence for both directions.
 
     xw_hbm:   [T, 2, B, 4H] (ANY/HBM)  precomputed x@W_ih + b
@@ -92,12 +93,17 @@ def _lstm_kernel(xw_hbm, w_hh_ref, out_hbm, hc_out_ref,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
         gates = gates + xw_buf[slot].astype(jnp.float32)
+        if gates_bf16:
+            # run the VPU transcendentals at half width; the cell-state
+            # accumulation stays f32
+            gates = gates.astype(jnp.bfloat16)
         i = jax.nn.sigmoid(gates[..., :H])
         f = jax.nn.sigmoid(gates[..., H:2 * H])
         g = jnp.tanh(gates[..., 2 * H:3 * H])
         o = jax.nn.sigmoid(gates[..., 3 * H:])
-        c_new = f * c_ref[:] + i * g
-        h_new = o * jnp.tanh(c_new)
+        c_new = (f.astype(jnp.float32) * c_ref[:]
+                 + i.astype(jnp.float32) * g.astype(jnp.float32))
+        h_new = o.astype(jnp.float32) * jnp.tanh(c_new)
         h_ref[:] = h_new
         c_ref[:] = c_new
         out_buf[cslot, pos] = h_new.astype(out_buf.dtype)
@@ -303,9 +309,9 @@ def _lstm_bwd_kernel(xw_hbm, w_hh_ref, h_hbm, c_hbm, dout_hbm, dhc_ref,
     dw_out_ref[:] = dw_acc[:]
 
 
-@functools.partial(jax.jit, static_argnames=('interpret',))
+@functools.partial(jax.jit, static_argnames=('interpret', 'gates_bf16'))
 def lstm_scan_pallas(xw: jnp.ndarray, w_hh: jnp.ndarray,
-                     interpret: bool = False
+                     interpret: bool = False, gates_bf16: bool = False
                      ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Run the fused recurrence.
 
@@ -320,7 +326,8 @@ def lstm_scan_pallas(xw: jnp.ndarray, w_hh: jnp.ndarray,
     assert two == 2
     CHUNK = 1  # per-step out DMA measured faster than chunked staging
     out, hc = pl.pallas_call(
-        functools.partial(_lstm_kernel, T=T, CHUNK=CHUNK),
+        functools.partial(_lstm_kernel, T=T, CHUNK=CHUNK,
+                          gates_bf16=gates_bf16),
         out_shape=(
             jax.ShapeDtypeStruct((T, 2, B, H), xw.dtype),
             jax.ShapeDtypeStruct((2, 2, B, H), jnp.float32),

@@ -49,9 +49,18 @@ class MultiQueryGrounder:
             pred, score = span_decode(out['start_prob'], out['end_prob'])
             return pred, score
 
+        @jax.jit
+        def _serve_multi(p, bank, queries, video_ids):
+            out = model.apply({'params': p}, bank, queries, video_ids,
+                              method=model.serve_cached_multi)
+            pred, score = span_decode(out['start_prob'], out['end_prob'])
+            return pred, score
+
         self._precompute = _precompute
         self._serve = _serve
+        self._serve_multi = _serve_multi
         self._resident_rnn0: Optional[jnp.ndarray] = None
+        self._resident_bank: Optional[jnp.ndarray] = None
 
     def set_video(self, video_feats: np.ndarray) -> None:
         """Pin a [T, D] video on device: runs the query-independent block-0
@@ -59,6 +68,38 @@ class MultiQueryGrounder:
         video = jax.device_put(jnp.asarray(video_feats, jnp.float32)[None],
                                replicated_sharding(self.mesh))
         self._resident_rnn0 = self._precompute(self.model_params, video)
+
+    def set_videos(self, video_feats: np.ndarray) -> None:
+        """Pin a BANK of [V, T, D] videos: one batched block-0 recurrence
+        pass (the kernel sublane-pads V<8), amortizing residency across
+        mixed query traffic — see :meth:`ground_bank`."""
+        videos = jax.device_put(jnp.asarray(video_feats, jnp.float32),
+                                replicated_sharding(self.mesh))
+        self._resident_bank = self._precompute(self.model_params, videos)
+
+    def ground_bank(self, sent_feats: np.ndarray, video_ids: np.ndarray
+                    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Ground mixed traffic: query i against resident video
+        ``video_ids[i]`` (bank pinned by :meth:`set_videos`)."""
+        assert self._resident_bank is not None, 'no video bank set'
+        Q, qb = sent_feats.shape[0], self.query_batch
+        preds, scores = [], []
+        qsharding = batch_sharding(self.mesh)
+        for i in range(0, Q, qb):
+            chunk, ids = sent_feats[i:i + qb], video_ids[i:i + qb]
+            n = len(chunk)
+            if n < qb:
+                chunk = np.concatenate(
+                    [chunk, np.repeat(chunk[-1:], qb - n, axis=0)], axis=0)
+                ids = np.concatenate([ids, np.repeat(ids[-1:], qb - n)])
+            pred, score = self._serve_multi(
+                self.model_params,
+                self._resident_bank,
+                jax.device_put(jnp.asarray(chunk, jnp.float32), qsharding),
+                jax.device_put(jnp.asarray(ids, jnp.int32), qsharding))
+            preds.append(np.asarray(pred)[:n])
+            scores.append(np.asarray(score)[:n])
+        return np.concatenate(preds), np.concatenate(scores)
 
     def ground(self, video_feats: Optional[np.ndarray],
                sent_feats: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:

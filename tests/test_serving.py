@@ -92,3 +92,52 @@ def test_serve_cached_equals_direct(model_and_params, rng):
     np.testing.assert_allclose(np.asarray(out_cached['end_prob']),
                                np.asarray(out_direct['end_prob']),
                                atol=1e-5, rtol=1e-4)
+
+
+def test_video_bank_matches_single_video_serving(model_and_params, rng):
+    """Multi-resident-video serving: grounding query i against bank video
+    video_ids[i] must equal grounding it against that video alone."""
+    model, params = model_and_params
+    V, Q = 3, 9
+    videos = rng.randn(V, T, DV).astype(np.float32)
+    queries = rng.randn(Q, N, 300).astype(np.float32)
+    ids = np.asarray([0, 1, 2, 2, 1, 0, 1, 0, 2], np.int32)
+
+    bank = model.apply({'params': params}, jnp.array(videos),
+                       method=model.precompute_video)
+    out = model.apply({'params': params}, bank, jnp.array(queries),
+                      jnp.array(ids), method=model.serve_cached_multi)
+    for v in range(V):
+        sel = np.where(ids == v)[0]
+        single = model.apply({'params': params}, jnp.array(videos[v:v + 1]),
+                             jnp.array(queries[sel]),
+                             method=model.serve_multi_query)
+        np.testing.assert_allclose(np.asarray(out['start_prob'])[sel],
+                                   np.asarray(single['start_prob']),
+                                   atol=1e-5, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(out['end_prob'])[sel],
+                                   np.asarray(single['end_prob']),
+                                   atol=1e-5, rtol=1e-4)
+
+
+def test_grounder_bank_api(model_and_params, rng):
+    model, params = model_and_params
+    cfg = dict(sent_rnn_hiddendim=8, sent_rnn_layers=1,
+               video_encoder='query_aware_encoder', video_rnn_hiddendim=8,
+               video_rnn_layers=1, crossmodal='vs', predictor='mlp',
+               mlp_hidden_dim=8, span_hidden_dim=8, mask=False, dropout=0.0,
+               m_temp='none', m_pred_hidden=16, m_pred_activ='relu',
+               precision='f32', mesh_shape=[8])
+    g = MultiQueryGrounder(cfg, params, query_batch=8)
+    videos = rng.randn(3, T, DV).astype(np.float32)
+    queries = rng.randn(11, N, 300).astype(np.float32)
+    ids = (np.arange(11) % 3).astype(np.int32)
+    g.set_videos(videos)
+    pred, score = g.ground_bank(queries, ids)
+    assert pred.shape == (11, 2) and score.shape == (11,)
+    # equals the single-resident path per video
+    for v in range(3):
+        sel = np.where(ids == v)[0]
+        p1, s1 = g.ground(videos[v], queries[sel])
+        np.testing.assert_allclose(pred[sel], p1, atol=1e-5)
+        np.testing.assert_allclose(score[sel], s1, rtol=1e-4, atol=1e-6)

@@ -27,11 +27,12 @@ from .utils.cache import enable_compilation_cache
 enable_compilation_cache()
 
 from .config import DEFAULTS, load_config
+from .data.device_bank import maybe_device_bank
 from .data.pipeline import BatchLoader, SentenceGroundingDataset
 from .eval.iou import retrieval_eval
 from .models import build_model
-from .parallel.mesh import (create_mesh, device_prefetch, host_local_rows,
-                            replicate_tree, shard_batch)
+from .parallel.mesh import (OutputAccumulator, create_mesh, device_prefetch,
+                            host_local_rows, replicate_tree, shard_batch)
 from .train.state import create_train_state, make_optimizer
 from .train.steps import (make_baseline_eval_step, make_baseline_train_step,
                           make_gmd_test_step, make_gmd_train_step,
@@ -209,6 +210,64 @@ def _check_finite(metrics, state, saver, key, logger, epoch, idx):
 # GMD training driver (train.py)
 # ---------------------------------------------------------------------------
 
+def _banked_eval_epoch(step, model_params, host_batches, bank, mesh,
+                       keys=None):
+    """Run a whole eval epoch as ONE jitted lax.scan over device-resident
+    stacked index batches (device-bank mode, single process).
+
+    The per-batch loop paid a dispatch + ~10 small H2D transfers per batch
+    through the remote relay (~0.4 s/batch of pure overhead at B=32); here
+    the stacked index arrays upload once (~7 transfers for the whole
+    split), the scan executes every batch on device, and the outputs fetch
+    once. ``keys`` (one PRNG key per batch) threads the valid step's
+    on-device pseudo-video draws.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from .parallel.mesh import DATA_AXIS
+
+    arrays = {}
+    for k in host_batches[0]:
+        if k in ('vid', 'sentence', 'n_valid'):
+            continue
+        arrays[k] = np.stack([np.asarray(b[k]) for b in host_batches])
+    sharding = NamedSharding(mesh, P(None, DATA_AXIS))
+    dev = {k: jax.device_put(v, sharding) for k, v in arrays.items()}
+    inner = step.inner
+
+    if keys is None:
+        @jax.jit
+        def epoch(p, batches, feats, emb):
+            def body(_, b):
+                b = dict(b)
+                b['bank_feats'] = feats
+                b['bank_emb'] = emb
+                return None, inner(p, b)
+            return jax.lax.scan(body, None, batches)[1]
+        outs = epoch(model_params, dev, bank.feats, bank.embeddings)
+    else:
+        @jax.jit
+        def epoch(p, batches, ks, feats, emb):
+            def body(_, xs):
+                b, kk = xs
+                b = dict(b)
+                b['bank_feats'] = feats
+                b['bank_emb'] = emb
+                return None, inner(p, b, kk)
+            return jax.lax.scan(body, None, (batches, ks))[1]
+        outs = epoch(model_params, dev, keys, bank.feats, bank.embeddings)
+    return {k: np.asarray(v) for k, v in outs.items()}
+
+
+def _log_eval_batches(logger, tag, fetched, n_batches, interval, mean_dt):
+    if interval == -1:
+        return
+    for idx in range(0, n_batches, interval):
+        logger.info('%s: epoch[%03d], batch[%04d/%04d], elapsed '
+                    'time=%0.2fs, loss: %03.3f, miou: %03.3f', tag, 0, idx,
+                    n_batches, mean_dt, float(fetched['loss'][idx]),
+                    float(fetched['miou'][idx]))
+
+
 def main_train(params: Dict[str, Any]) -> Dict[str, Any]:
     logger = setup_logger(params['alias'])
     saver = RunManager(params)
@@ -218,11 +277,19 @@ def main_train(params: Dict[str, Any]) -> Dict[str, Any]:
     model = build_model(params, 'gmd')
     train_set = make_dataset(params, 'train_data', 'train_featpath', 'train')
     valid_set = make_dataset(params, 'val_data', 'valid_featpath', 'valid')
+    host_pair = not params.get('on_device_aug', True)
+    train_bank = None if host_pair else \
+        maybe_device_bank(params, train_set, mesh, logger)
+    valid_bank = maybe_device_bank(params, valid_set, mesh, logger)
     train_loader = BatchLoader(train_set, params['batch_size'][0],
                                shuffle=True, seed=params.get('seed', 123),
+                               host_pair_aug=host_pair,
+                               device_assemble=train_bank is not None,
                                **_loader_kwargs())
     valid_loader = BatchLoader(valid_set, params['batch_size'][2],
-                               shuffle=False, **_loader_kwargs())
+                               shuffle=False,
+                               device_assemble=valid_bank is not None,
+                               **_loader_kwargs())
 
     key = jax.random.PRNGKey(params.get('seed', 123))
     key, init_key = jax.random.split(key)
@@ -243,8 +310,12 @@ def main_train(params: Dict[str, Any]) -> Dict[str, Any]:
                        payload.get('step'))
     state = replicate_tree(mesh, state)
 
-    train_step = make_gmd_train_step(model, params, lg)
-    valid_step = make_gmd_valid_step(model, params, lg)
+    train_step = make_gmd_train_step(
+        model, params, lg,
+        assembler=train_bank.assemble if train_bank else None)
+    valid_step = make_gmd_valid_step(
+        model, params, lg,
+        assembler=valid_bank.assemble if valid_bank else None)
 
     statistics = {'loss': {}, 'mIoU': {}}
     for step_epoch in range(params['epoch']):
@@ -252,7 +323,8 @@ def main_train(params: Dict[str, Any]) -> Dict[str, Any]:
         epoch_metrics = []
         for idx, (batch, sb) in enumerate(
                 device_prefetch(train_loader, mesh,
-                                params.get('host_prefetch', 2))):
+                                params.get('host_prefetch', 2),
+                                bank=train_bank)):
             t_b = time.time()
             key, sk = jax.random.split(key)
             state, metrics = train_step(state, sb, sk)
@@ -294,7 +366,8 @@ def main_train(params: Dict[str, Any]) -> Dict[str, Any]:
             # training stream
             miou = run_valid(valid_step, state, valid_loader, valid_set,
                              params, logger, step_epoch, saver, mesh,
-                             jax.random.fold_in(key, 0x5a11d))
+                             jax.random.fold_in(key, 0x5a11d),
+                             bank=valid_bank)
             statistics['mIoU'][step_epoch] = round(miou * 100, 2)
             saver.log_metrics({'epoch': step_epoch, 'phase': 'valid',
                                'miou': miou})
@@ -308,22 +381,31 @@ def main_train(params: Dict[str, Any]) -> Dict[str, Any]:
 
 
 def run_valid(valid_step, state, loader, dataset, params, logger, epoch,
-              saver: Optional[RunManager], mesh, key) -> float:
+              saver: Optional[RunManager], mesh, key, bank=None) -> float:
     pred_dict = _new_pred_dict(params)
     t0 = time.time()
-    all_metrics = []
-    for idx, batch in enumerate(loader):
-        key, sk = jax.random.split(key)
-        sb = shard_batch(mesh, batch)
-        out = valid_step(state.params, sb, sk)
-        all_metrics.append({k: float(host_local_rows(out[k])) for k in
-                            ('loss', 'loss_g', 'loss_intra', 'loss_inter',
-                             'miou')})
-        # frame->seconds conversion already happened in-step (_stats);
-        # on multi-host each process collects its own stripe's rows
-        _collect_predictions(pred_dict, batch,
-                             host_local_rows(out['pred_time']),
-                             host_local_rows(out['score']))
+    if bank is not None and jax.process_count() == 1:
+        host_batches = list(loader)
+        keys = jax.random.split(key, len(host_batches))
+        fetched = _banked_eval_epoch(valid_step, state.params, host_batches,
+                                     bank, mesh, keys=keys)
+    else:
+        host_batches = []
+        acc = OutputAccumulator(len(loader))
+        for idx, batch in enumerate(loader):
+            key, sk = jax.random.split(key)
+            sb = shard_batch(mesh, batch, bank)
+            host_batches.append(batch)
+            acc.append(valid_step(state.params, sb, sk))
+        fetched = acc.fetch()
+    all_metrics = [{k: float(fetched[k][i]) for k in
+                    ('loss', 'loss_g', 'loss_intra', 'loss_inter', 'miou')}
+                   for i in range(len(host_batches))]
+    # frame->seconds conversion already happened in-step (_stats);
+    # on multi-host each process collects its own stripe's rows
+    for i, batch in enumerate(host_batches):
+        _collect_predictions(pred_dict, batch, fetched['pred_time'][i],
+                             fetched['score'][i])
     if saver is not None:
         saver.save_submits(pred_dict, epoch, _submit_key('val_data'))
     miou = _avg(all_metrics, 'miou')
@@ -358,8 +440,11 @@ def main_test(params: Dict[str, Any]) -> str:
 
     model = build_model(params, 'gmd', inference=True)
     test_set = make_dataset(params, 'test_data', 'test_featpath', 'test')
+    test_bank = maybe_device_bank(params, test_set, mesh, logger)
     test_loader = BatchLoader(test_set, params['batch_size'][0],
-                              shuffle=False, **_loader_kwargs())
+                              shuffle=False,
+                              device_assemble=test_bank is not None,
+                              **_loader_kwargs())
 
     key = jax.random.PRNGKey(params.get('seed', 123))
     model_params = init_model_params(model, params, key, 'gmd')
@@ -374,27 +459,41 @@ def main_test(params: Dict[str, Any]) -> str:
                        params['start_from'], is_ref)
     model_params = replicate_tree(mesh, model_params)
 
-    test_step = make_gmd_test_step(model, lg)
+    test_step = make_gmd_test_step(
+        model, lg, assembler=test_bank.assemble if test_bank else None)
     pred_dict = _new_pred_dict(params)
     t0 = time.time()
-    losses, mious = [], []
-    for idx, batch in enumerate(test_loader):
-        t_b = time.time()
-        sb = shard_batch(mesh, batch)
-        out = test_step(model_params, sb)
-        out = {'loss': float(host_local_rows(out['loss'])),
-               'miou': float(host_local_rows(out['miou'])),
-               'pred_time': host_local_rows(out['pred_time']),
-               'score': host_local_rows(out['score'])}
-        losses.append(float(out['loss']))
-        mious.append(float(out['miou']))
-        if params['batch_log_interval'] != -1 and \
-                idx % params['batch_log_interval'] == 0:
-            logger.info('test: epoch[%03d], batch[%04d/%04d], elapsed '
-                        'time=%0.2fs, loss: %03.3f, miou: %03.3f', 0, idx,
-                        len(test_loader), time.time() - t_b, out['loss'],
-                        out['miou'])
-        _collect_predictions(pred_dict, batch, out['pred_time'], out['score'])
+    if test_bank is not None and jax.process_count() == 1:
+        # whole epoch as one scan dispatch (see _banked_eval_epoch)
+        host_batches = list(test_loader)
+        fetched = _banked_eval_epoch(test_step, model_params, host_batches,
+                                     test_bank, mesh)
+        _log_eval_batches(logger, 'test', fetched, len(host_batches),
+                          params['batch_log_interval'],
+                          (time.time() - t0) / max(len(host_batches), 1))
+    else:
+        # per-batch dispatch; enqueue all, fetch once at the end
+        host_batches = []
+        acc = OutputAccumulator(len(test_loader))
+        for idx, batch in enumerate(test_loader):
+            t_b = time.time()
+            sb = shard_batch(mesh, batch, test_bank)
+            out = test_step(model_params, sb)
+            host_batches.append(batch)
+            acc.append(out)
+            if params['batch_log_interval'] != -1 and \
+                    idx % params['batch_log_interval'] == 0:
+                logger.info('test: epoch[%03d], batch[%04d/%04d], elapsed '
+                            'time=%0.2fs, loss: %03.3f, miou: %03.3f', 0, idx,
+                            len(test_loader), time.time() - t_b,
+                            float(host_local_rows(out['loss'])),
+                            float(host_local_rows(out['miou'])))
+        fetched = acc.fetch()
+    losses = [float(x) for x in fetched['loss']]
+    mious = [float(x) for x in fetched['miou']]
+    for batch, pt, sc in zip(host_batches, fetched['pred_time'],
+                             fetched['score']):
+        _collect_predictions(pred_dict, batch, pt, sc)
     submit = saver.save_submits(pred_dict, 0, _submit_key('test_data'))
     logger.info('epoch [%03d]: elapsed time:%0.4fs, avg loss: %03.3f, '
                 'miou: %03.3f', 0, time.time() - t0,
@@ -419,11 +518,16 @@ def main_train_baseline(params: Dict[str, Any]) -> Dict[str, Any]:
     model = build_model(params, 'baseline')
     train_set = make_dataset(params, 'train_data', 'train_featpath', 'train')
     valid_set = make_dataset(params, 'val_data', 'valid_featpath', 'valid')
+    train_bank = maybe_device_bank(params, train_set, mesh, logger)
+    valid_bank = maybe_device_bank(params, valid_set, mesh, logger)
     train_loader = BatchLoader(train_set, params['batch_size'][0],
                                shuffle=True, seed=params.get('seed', 123),
+                               device_assemble=train_bank is not None,
                                **_loader_kwargs())
     valid_loader = BatchLoader(valid_set, params['batch_size'][2],
-                               shuffle=False, **_loader_kwargs())
+                               shuffle=False,
+                               device_assemble=valid_bank is not None,
+                               **_loader_kwargs())
 
     key = jax.random.PRNGKey(params.get('seed', 123))
     key, init_key = jax.random.split(key)
@@ -443,8 +547,11 @@ def main_train_baseline(params: Dict[str, Any]) -> Dict[str, Any]:
                        payload.get('step'))
     state = replicate_tree(mesh, state)
 
-    train_step = make_baseline_train_step(model, params, lg)
-    eval_step = make_baseline_eval_step(model, lg)
+    train_step = make_baseline_train_step(
+        model, params, lg,
+        assembler=train_bank.assemble if train_bank else None)
+    eval_step = make_baseline_eval_step(
+        model, lg, assembler=valid_bank.assemble if valid_bank else None)
 
     statistics = {'loss': {}, 'mIoU': {}}
     for step_epoch in range(params['epoch']):
@@ -452,7 +559,8 @@ def main_train_baseline(params: Dict[str, Any]) -> Dict[str, Any]:
         epoch_metrics = []
         for idx, (batch, sb) in enumerate(
                 device_prefetch(train_loader, mesh,
-                                params.get('host_prefetch', 2))):
+                                params.get('host_prefetch', 2),
+                                bank=train_bank)):
             t_b = time.time()
             key, sk = jax.random.split(key)
             state, metrics = train_step(state, sb, sk)
@@ -482,7 +590,7 @@ def main_train_baseline(params: Dict[str, Any]) -> Dict[str, Any]:
         if (step_epoch + 1) % params['test_interval'] == 0:
             miou = run_eval_collect(eval_step, state.params, valid_loader,
                                     params, logger, step_epoch, saver, mesh,
-                                    'val_data')
+                                    'val_data', bank=valid_bank)
             statistics['mIoU'][step_epoch] = round(miou * 100, 2)
         if ((step_epoch + 1) % params['save_model_interval'] == 0
                 or (step_epoch + 1) == params['epoch']) and _is_proc0():
@@ -493,18 +601,26 @@ def main_train_baseline(params: Dict[str, Any]) -> Dict[str, Any]:
 
 
 def run_eval_collect(eval_step, model_params, loader, params, logger, epoch,
-                     saver, mesh, submit_key) -> float:
+                     saver, mesh, submit_key, bank=None) -> float:
     pred_dict = _new_pred_dict(params)
     t0 = time.time()
-    losses, mious = [], []
-    for batch in loader:
-        sb = shard_batch(mesh, batch)
-        out = eval_step(model_params, sb)
-        losses.append(float(host_local_rows(out['loss'])))
-        mious.append(float(host_local_rows(out['miou'])))
-        _collect_predictions(pred_dict, batch,
-                             host_local_rows(out['pred_time']),
-                             host_local_rows(out['score']))
+    if bank is not None and jax.process_count() == 1:
+        host_batches = list(loader)
+        fetched = _banked_eval_epoch(eval_step, model_params, host_batches,
+                                     bank, mesh)
+    else:
+        host_batches = []
+        acc = OutputAccumulator(len(loader))
+        for batch in loader:
+            sb = shard_batch(mesh, batch, bank)
+            host_batches.append(batch)
+            acc.append(eval_step(model_params, sb))
+        fetched = acc.fetch()
+    losses = [float(x) for x in fetched['loss']]
+    mious = [float(x) for x in fetched['miou']]
+    for i, batch in enumerate(host_batches):
+        _collect_predictions(pred_dict, batch, fetched['pred_time'][i],
+                             fetched['score'][i])
     if saver is not None:
         saver.save_submits(pred_dict, epoch, _submit_key(submit_key))
     miou = float(np.mean(mious))
@@ -522,8 +638,11 @@ def main_test_baseline(params: Dict[str, Any]) -> str:
 
     model = build_model(params, 'baseline', inference=True)
     test_set = make_dataset(params, 'test_data', 'test_featpath', 'test')
+    test_bank = maybe_device_bank(params, test_set, mesh, logger)
     test_loader = BatchLoader(test_set, params['batch_size'][0],
-                              shuffle=False, **_loader_kwargs())
+                              shuffle=False,
+                              device_assemble=test_bank is not None,
+                              **_loader_kwargs())
 
     key = jax.random.PRNGKey(params.get('seed', 123))
     model_params = init_model_params(model, params, key, 'baseline')
@@ -537,18 +656,27 @@ def main_test_baseline(params: Dict[str, Any]) -> str:
                        params['start_from'], is_ref)
     model_params = replicate_tree(mesh, model_params)
 
-    eval_step = make_baseline_eval_step(model, lg)
+    eval_step = make_baseline_eval_step(
+        model, lg, assembler=test_bank.assemble if test_bank else None)
     pred_dict = _new_pred_dict(params)
     t0 = time.time()
-    losses, mious = [], []
-    for idx, batch in enumerate(test_loader):
-        sb = shard_batch(mesh, batch)
-        out = eval_step(model_params, sb)
-        losses.append(float(host_local_rows(out['loss'])))
-        mious.append(float(host_local_rows(out['miou'])))
-        _collect_predictions(pred_dict, batch,
-                             host_local_rows(out['pred_time']),
-                             host_local_rows(out['score']))
+    if test_bank is not None and jax.process_count() == 1:
+        host_batches = list(test_loader)
+        fetched = _banked_eval_epoch(eval_step, model_params, host_batches,
+                                     test_bank, mesh)
+    else:
+        host_batches = []
+        acc = OutputAccumulator(len(test_loader))
+        for idx, batch in enumerate(test_loader):
+            sb = shard_batch(mesh, batch, test_bank)
+            host_batches.append(batch)
+            acc.append(eval_step(model_params, sb))
+        fetched = acc.fetch()
+    losses = [float(x) for x in fetched['loss']]
+    mious = [float(x) for x in fetched['miou']]
+    for i, batch in enumerate(host_batches):
+        _collect_predictions(pred_dict, batch, fetched['pred_time'][i],
+                             fetched['score'][i])
     submit = saver.save_submits(pred_dict, 0, _submit_key('test_data'))
     logger.info('epoch [%03d]: elapsed time:%0.4fs, avg loss: %03.3f, '
                 'miou: %03.3f', 0, time.time() - t0,

@@ -110,6 +110,9 @@ DEFAULTS: Dict[str, Any] = {
     "nan_check_interval": 100,    # unconditional finite-loss watchdog cadence
     "h2d_dtype": "raw",           # 'raw': ship f16 packs as f16 host->device
                                   # (half the H2D bytes); 'f32': legacy upcast
+    "device_bank": True,          # keep packed features resident in HBM and
+                                  # gather on device (index-only H2D batches)
+    "device_bank_max_gb": 8.0,    # HBM budget for the resident pack
     "aug_seg_len": None,          # segment length for shuffle_temporal modes
 }
 

@@ -268,13 +268,25 @@ class BatchLoader:
     def __init__(self, dataset: SentenceGroundingDataset, batch_size: int,
                  shuffle: bool, seed: int = 0, host_pair_aug: bool = False,
                  embed_tokens: bool = True, prefetch: int = 2,
-                 process_index: int = 0, process_count: int = 1):
+                 process_index: int = 0, process_count: int = 1,
+                 device_assemble: bool = False):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
         self.host_pair_aug = host_pair_aug
         self.embed_tokens = embed_tokens
+        # device_assemble: ship index-only batches (pack rows + token ids +
+        # framestamps); features/embeddings/masks assemble on device from a
+        # resident DeviceFeatureBank (data/device_bank.py). Requires a
+        # packed source and no host-side feature mutation.
+        self.device_assemble = device_assemble
+        if device_assemble:
+            assert dataset.pack is not None, \
+                'device_assemble requires a packed feature source'
+            assert not host_pair_aug, \
+                'host pair aug mutates features on host; disable one'
+            self.embed_tokens = False
         self.prefetch = prefetch
         self.epoch = 0
         # multi-host data parallelism: each host loads a disjoint 1/Nth
@@ -308,6 +320,14 @@ class BatchLoader:
         records = [self.dataset.build_record(int(i), self.host_pair_aug)
                    for i in chunk]
         batch = collate(records, n_valid)
+        if self.device_assemble and 'pack_row' in batch:
+            # index-only batch: the masks/features/embeddings collated on
+            # host are rebuilt on device by DeviceFeatureBank.assemble, so
+            # don't ship them (H2D here runs ~26 MB/s through the relay)
+            from .device_bank import ASSEMBLED_KEYS
+            for k in ASSEMBLED_KEYS:
+                batch.pop(k, None)
+            return batch
         if 'pack_row' in batch:
             # one parallel native gather assembles the whole video batch;
             # f16 packs ship raw (half the H2D bytes, upcast on device)

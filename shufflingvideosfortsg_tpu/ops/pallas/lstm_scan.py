@@ -95,12 +95,18 @@ def _lstm_kernel(xw_hbm, w_hh_ref, out_hbm, hc_out_ref,
         gates = gates + xw_buf[slot].astype(jnp.float32)
         if gates_bf16:
             # run the VPU transcendentals at half width; the cell-state
-            # accumulation stays f32
+            # accumulation stays f32. Mosaic rejects jax.nn.sigmoid /
+            # lax.logistic on bf16 vectors (f32-scalar vector.broadcast
+            # verifier bug), so spell sigmoid with dtype-matched constants.
             gates = gates.astype(jnp.bfloat16)
-        i = jax.nn.sigmoid(gates[..., :H])
-        f = jax.nn.sigmoid(gates[..., H:2 * H])
+            one = jnp.ones((), gates.dtype)
+            _sigmoid = lambda v: one / (one + jnp.exp(-v))  # noqa: E731
+        else:
+            _sigmoid = jax.nn.sigmoid
+        i = _sigmoid(gates[..., :H])
+        f = _sigmoid(gates[..., H:2 * H])
         g = jnp.tanh(gates[..., 2 * H:3 * H])
-        o = jax.nn.sigmoid(gates[..., 3 * H:])
+        o = _sigmoid(gates[..., 3 * H:])
         c_new = (f.astype(jnp.float32) * c_ref[:]
                  + i.astype(jnp.float32) * g.astype(jnp.float32))
         h_new = o.astype(jnp.float32) * jnp.tanh(c_new)

@@ -143,6 +143,11 @@ class BiLSTM(nn.Module):
 
             mode = self.fused
             itemsize = jnp.dtype(self.dtype).itemsize
+            if H % 128 != 0:
+                # the kernel's per-gate slices (gates[..., :H] etc.) are
+                # lane-dimension slices: Mosaic requires them 128-aligned.
+                # Sub-128 hidden sizes (tests, toy configs) use lax.scan.
+                mode = False
             # Mosaic needs a sublane-aligned batch: pad xw with zero rows to
             # the next multiple of 8 AFTER the input projection (so the
             # projection matmul runs at the true B) and slice the outputs

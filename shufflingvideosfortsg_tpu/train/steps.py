@@ -35,8 +35,23 @@ def _stats(start_prob, end_prob, batch, lg_frame2sec: bool):
     return pred_f, score, miou
 
 
+
+
+class JittedStep:
+    """A jitted step that also exposes its traceable body (``inner``) so
+    drivers can embed it inside a whole-epoch ``lax.scan``
+    (cli._banked_eval_epoch) instead of dispatching per batch."""
+
+    def __init__(self, fn):
+        self.inner = fn
+        self._jit = jax.jit(fn)
+
+    def __call__(self, *args, **kwargs):
+        return self._jit(*args, **kwargs)
+
+
 def make_gmd_train_step(model, params: Dict[str, Any],
-                        lg_frame2sec: bool = False):
+                        lg_frame2sec: bool = False, assembler=None):
     m1 = float(params['loss_m1_lambda'])
     m2 = float(params['loss_m2_lambda'])
     md = float(params['loss_disc_lambda'])
@@ -74,6 +89,8 @@ def make_gmd_train_step(model, params: Dict[str, Any],
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
                    key: jax.Array) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        if assembler is not None:
+            batch = assembler(batch)
         aug_key, dropout_key = jax.random.split(key)
         if on_device_aug:
             pseudo_feat, pseudo_framestps, pmasks = gt_translate_batch(
@@ -104,15 +121,16 @@ def make_gmd_train_step(model, params: Dict[str, Any],
 
 
 def make_gmd_valid_step(model, params: Dict[str, Any],
-                        lg_frame2sec: bool = False):
+                        lg_frame2sec: bool = False, assembler=None):
     """The reference's valid(): full pair forward without dropout, losses
     minus the discriminator term, plus decoded spans for the submit file
     (train.py:209-318)."""
     m1 = float(params['loss_m1_lambda'])
     m2 = float(params['loss_m2_lambda'])
 
-    @jax.jit
     def valid_step(p, batch, key):
+        if assembler is not None:
+            batch = assembler(batch)
         pseudo_feat, pseudo_framestps, pmasks = gt_translate_batch(
             key, batch['video_feat'], batch['framestps'], batch['nfeats'])
         out = model.apply(
@@ -141,14 +159,15 @@ def make_gmd_valid_step(model, params: Dict[str, Any],
                 'loss_inter': loss_inter, 'miou': miou,
                 'pred_time': pred_f, 'score': score}
 
-    return valid_step
+    return JittedStep(valid_step)
 
 
-def make_gmd_test_step(model, lg_frame2sec: bool = False):
+def make_gmd_test_step(model, lg_frame2sec: bool = False, assembler=None):
     """Single-video inference (test.py:104-124): eval_forward + decode."""
 
-    @jax.jit
     def test_step(p, batch):
+        if assembler is not None:
+            batch = assembler(batch)
         out = model.apply({'params': p}, batch['video_feat'],
                           batch['sent_feat'], batch['video_mask'],
                           batch['sent_mask'], method=model.eval_forward)
@@ -159,7 +178,7 @@ def make_gmd_test_step(model, lg_frame2sec: bool = False):
         return {'loss': loss_g, 'miou': miou, 'pred_time': pred_f,
                 'score': score}
 
-    return test_step
+    return JittedStep(test_step)
 
 
 # ---------------------------------------------------------------------------
@@ -167,9 +186,12 @@ def make_gmd_test_step(model, lg_frame2sec: bool = False):
 # ---------------------------------------------------------------------------
 
 def make_baseline_train_step(model, params: Dict[str, Any],
-                             lg_frame2sec: bool = False):
+                             lg_frame2sec: bool = False, assembler=None):
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch, key):
+        if assembler is not None:
+            batch = assembler(batch)
+
         def loss_fn(p):
             out = model.apply({'params': p}, batch['video_feat'],
                               batch['sent_feat'], batch['video_mask'],
@@ -188,9 +210,11 @@ def make_baseline_train_step(model, params: Dict[str, Any],
     return train_step
 
 
-def make_baseline_eval_step(model, lg_frame2sec: bool = False):
-    @jax.jit
+def make_baseline_eval_step(model, lg_frame2sec: bool = False,
+                            assembler=None):
     def eval_step(p, batch):
+        if assembler is not None:
+            batch = assembler(batch)
         out = model.apply({'params': p}, batch['video_feat'],
                           batch['sent_feat'], batch['video_mask'],
                           batch['sent_mask'])
@@ -201,4 +225,4 @@ def make_baseline_eval_step(model, lg_frame2sec: bool = False):
         return {'loss': loss_g, 'miou': miou, 'pred_time': pred_f,
                 'score': score}
 
-    return eval_step
+    return JittedStep(eval_step)

@@ -1,0 +1,144 @@
+"""Device-resident feature bank: assembled device batches are identical to
+host-gathered batches, and the train step computes the same loss either way.
+
+The bank exists because the driver path was H2D-bound (data/device_bank.py
+module docstring); correctness is pure parity — same pack bytes, same GloVe
+rows, same inclusive-end mask semantics as data/masks.py.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+from shufflingvideosfortsg_tpu.config import load_config
+from shufflingvideosfortsg_tpu.data.device_bank import (DeviceFeatureBank,
+                                                        maybe_device_bank)
+from shufflingvideosfortsg_tpu.data.pipeline import (BatchLoader,
+                                                     SentenceGroundingDataset)
+from shufflingvideosfortsg_tpu.parallel.mesh import create_mesh, shard_batch
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ANNO = "/root/reference/data/Charades-CD/charades_val.json"
+
+T, D = 16, 32
+
+
+@pytest.fixture(scope="module")
+def pack_dir(tmp_path_factory):
+    if not os.path.isfile(ANNO):
+        pytest.skip("reference annotations unavailable")
+    out = str(tmp_path_factory.mktemp("pack_f16"))
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools/make_synth_pack.py"),
+         "--annotations", ANNO, "--out", out, "--t", str(T), "--d", str(D),
+         "--dtype", "f16"],
+        check=True, capture_output=True)
+    return out
+
+
+def _params(pack, **over):
+    return load_config(
+        os.path.join(REPO, "cfgs/charades_cd_i3d.yml"),
+        overrides=dict(valid_featpath=pack, video_len=T,
+                       video_feature_dim=D, sent_len=15,
+                       sent_rnn_hiddendim=8, video_rnn_hiddendim=8,
+                       mlp_hidden_dim=8, span_hidden_dim=8,
+                       m_pred_hidden=8, **over),
+        data_root="/root/reference/data")
+
+
+def _dataset(params):
+    return SentenceGroundingDataset(params["val_data"],
+                                    params["valid_featpath"], params,
+                                    dataset_name="charades")
+
+
+def test_assembled_batch_matches_host_batch(pack_dir):
+    params = _params(pack_dir)
+    ds = _dataset(params)
+    mesh = create_mesh([1])
+    bank = DeviceFeatureBank(ds.pack, ds.vocab, mesh)
+
+    host = next(iter(BatchLoader(ds, 8, shuffle=False, prefetch=0)))
+    dev = next(iter(BatchLoader(ds, 8, shuffle=False, prefetch=0,
+                                device_assemble=True)))
+    for k in ('video_feat', 'sent_feat', 'sent_mask', 'video_mask',
+              'temporal_labels', 'fore_masks', 'back_masks'):
+        assert k not in dev
+    assembled = jax.jit(bank.assemble)(shard_batch(mesh, dev, bank))
+    np.testing.assert_array_equal(
+        np.asarray(assembled['video_feat']), host['video_feat'])
+    np.testing.assert_array_equal(
+        np.asarray(assembled['sent_feat']), host['sent_feat'])
+    for k in ('sent_mask', 'video_mask', 'temporal_labels', 'fore_masks',
+              'back_masks'):
+        np.testing.assert_array_equal(np.asarray(assembled[k]), host[k],
+                                      err_msg=k)
+
+
+def test_train_step_loss_matches_host_mode(pack_dir):
+    from shufflingvideosfortsg_tpu.models import build_model
+    from shufflingvideosfortsg_tpu.train.state import (create_train_state,
+                                                       make_optimizer)
+    from shufflingvideosfortsg_tpu.train.steps import make_gmd_train_step
+
+    params = _params(pack_dir)
+    ds = _dataset(params)
+    mesh = create_mesh([1])
+    bank = DeviceFeatureBank(ds.pack, ds.vocab, mesh)
+    model = build_model(params, 'gmd')
+
+    def fresh_state():
+        mt = np.ones((2, T), np.int32)
+        mn = np.ones((2, 15), np.int32)
+        variables = jax.jit(model.init)(
+            jax.random.PRNGKey(0), np.zeros((2, 15, 300), np.float32), mn,
+            np.zeros((2, T, D), np.float32), mt,
+            np.zeros((2, T, D), np.float32), mt, mt, mt, mt, mt, mt, mt)
+        tx = make_optimizer(params, steps_per_epoch=10)
+        return create_train_state(variables['params'], tx)
+
+    key = jax.random.PRNGKey(7)
+    host_b = next(iter(BatchLoader(ds, 8, shuffle=False, prefetch=0)))
+    dev_b = next(iter(BatchLoader(ds, 8, shuffle=False, prefetch=0,
+                                  device_assemble=True)))
+
+    step_host = make_gmd_train_step(model, params)
+    step_dev = make_gmd_train_step(model, params, assembler=bank.assemble)
+    _, m_host = step_host(fresh_state(), shard_batch(mesh, host_b), key)
+    _, m_dev = step_dev(fresh_state(), shard_batch(mesh, dev_b, bank), key)
+    np.testing.assert_allclose(float(m_host['loss']), float(m_dev['loss']),
+                               rtol=1e-6)
+    np.testing.assert_allclose(float(m_host['miou']), float(m_dev['miou']),
+                               rtol=1e-6)
+
+
+def test_maybe_device_bank_gating(pack_dir):
+    mesh = create_mesh([1])
+    params = _params(pack_dir)
+    ds = _dataset(params)
+    assert maybe_device_bank(params, ds, mesh) is not None
+
+    # disabled by flag
+    params2 = _params(pack_dir, device_bank=False)
+    assert maybe_device_bank(params2, _dataset(params2), mesh) is None
+
+    # over HBM budget
+    params3 = _params(pack_dir, device_bank_max_gb=1e-9)
+    assert maybe_device_bank(params3, _dataset(params3), mesh) is None
+
+    # host augmentation on a train split needs host features
+    params4 = _params(pack_dir, if_aug=True)
+    ds4 = _dataset(params4)
+    ds4.is_train = True
+    assert maybe_device_bank(params4, ds4, mesh) is None
+
+    # per-file (non-pack) stores have nothing to upload
+    ds5 = _dataset(params)
+    ds5.pack = None
+    assert maybe_device_bank(params, ds5, mesh) is None

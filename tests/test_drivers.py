@@ -101,8 +101,8 @@ def test_nan_watchdog_fires_with_logging_disabled(tiny_env, monkeypatch):
                                nan_check_interval=1)
     real_maker = cli.make_baseline_train_step
 
-    def nan_maker(model, p, lg):
-        step = real_maker(model, p, lg)
+    def nan_maker(model, p, lg, **kwargs):
+        step = real_maker(model, p, lg, **kwargs)
 
         def bad_step(state, sb, sk):
             state, metrics = step(state, sb, sk)
@@ -117,3 +117,76 @@ def test_nan_watchdog_fires_with_logging_disabled(tiny_env, monkeypatch):
         cli.main_train_baseline(params)
     assert os.path.isfile(
         os.path.join(runs, "drv_nanwd", "model", "drv_nanwd_99999.ckp"))
+
+
+@pytest.fixture(scope="module")
+def pack_env(tmp_path_factory):
+    """tiny_env variant whose feature source is an f16 featpack, so the
+    drivers take the device-bank path (resident features + whole-epoch
+    scan eval, cli._banked_eval_epoch)."""
+    if not os.path.isfile(ANNO):
+        pytest.skip("reference annotations unavailable")
+    pack_dir = str(tmp_path_factory.mktemp("drv_pack"))
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools/make_synth_pack.py"),
+         "--annotations", ANNO, "--out", pack_dir, "--t", "24", "--d", "32",
+         "--dtype", "f16"], check=True, capture_output=True)
+    runs = str(tmp_path_factory.mktemp("drv_pack_runs"))
+
+    def make_params(alias, **over):
+        params = load_config(
+            os.path.join(REPO, "cfgs/charades_cd_i3d.yml"),
+            data_root="/root/reference/data")
+        params.update(dict(
+            alias=alias, runs=runs, debug=True,
+            train_data=ANNO, val_data=ANNO, test_data=ANNO,
+            train_featpath=pack_dir, valid_featpath=pack_dir,
+            test_featpath=pack_dir,
+            video_feature_dim=32, video_len=24, sent_len=8,
+            sent_rnn_hiddendim=8, video_rnn_hiddendim=8,
+            mlp_hidden_dim=8, span_hidden_dim=8, m_pred_hidden=16,
+            batch_size=[8, 8, 8], epoch=1, batch_log_interval=-1,
+            start_from=None))
+        params.update(over)
+        return params, runs
+
+    return make_params
+
+
+def test_gmd_roundtrip_device_bank(pack_env):
+    """Train (resident bank) -> checkpoint -> test (whole-epoch scan eval)
+    -> submit; the banked eval must produce the full prediction set with
+    the same schema as the per-batch path."""
+    make_params = pack_env
+    params, runs = make_params("drv_bank")
+    stats = cli.main_train(params)
+    assert 0 in stats["mIoU"]
+    ckpt = os.path.join(runs, "drv_bank", "model", "drv_bank_00000.ckp")
+    tparams, _ = make_params("test_drv_bank", start_from=ckpt)
+    submit = cli.main_test(tparams)
+    sub = json.load(open(submit))
+    assert sum(len(v) for v in sub["results"].values()) == 32
+    first = next(iter(sub["results"].values()))[0]
+    assert set(first) >= {"sentence", "timestamp", "gt_timestamp", "score",
+                          "video_duration"}
+
+
+def test_banked_eval_equals_per_batch_eval(pack_env):
+    """The whole-epoch scan eval and the per-batch eval produce identical
+    submit files for the same checkpoint."""
+    make_params = pack_env
+    params, runs = make_params("drv_bank_eq")
+    cli.main_train(params)
+    ckpt = os.path.join(runs, "drv_bank_eq", "model", "drv_bank_eq_00000.ckp")
+
+    t1, _ = make_params("test_bank_on", start_from=ckpt)
+    s1 = json.load(open(cli.main_test(t1)))
+    t2, _ = make_params("test_bank_off", start_from=ckpt, device_bank=False)
+    s2 = json.load(open(cli.main_test(t2)))
+    assert set(s1["results"]) == set(s2["results"])
+    for vid in s1["results"]:
+        for a, b in zip(s1["results"][vid], s2["results"][vid]):
+            assert a["sentence"] == b["sentence"]
+            np.testing.assert_allclose(a["timestamp"], b["timestamp"],
+                                       atol=1e-4)
+            np.testing.assert_allclose(a["score"], b["score"], rtol=1e-4)

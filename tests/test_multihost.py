@@ -20,9 +20,18 @@ ANNO = "/root/reference/data/Charades-CD/charades_val.json"
 @pytest.mark.skipif(not os.path.isfile(ANNO),
                     reason="reference annotations unavailable")
 def test_multihost_one_step_loss_matches_single_process():
-    proc = subprocess.run(
-        [sys.executable, os.path.join(REPO, 'tools/dryrun_multihost.py')],
-        capture_output=True, text=True, timeout=880)
+    for attempt in range(2):
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, 'tools/dryrun_multihost.py')],
+            capture_output=True, text=True, timeout=880)
+        blob = proc.stdout + proc.stderr
+        if proc.returncode == 0:
+            break
+        # gloo's collective-context init has a hard 30s KV timeout that a
+        # CPU-oversubscribed machine (concurrent suites/soaks) can blow;
+        # that's environment, not wiring — retry once
+        if 'DEADLINE_EXCEEDED' not in blob and 'timed out' not in blob:
+            break
     assert proc.returncode == 0, proc.stdout + proc.stderr[-4000:]
     line = [l for l in proc.stdout.splitlines()
             if l.startswith('dryrun_multihost ok:')]

@@ -9,6 +9,7 @@ naming, same printed statistics. ``--gpu_id`` is accepted and ignored
 from __future__ import annotations
 
 import argparse
+import functools
 import logging
 import os
 import time
@@ -268,6 +269,47 @@ def _log_eval_batches(logger, tag, fetched, n_batches, interval, mean_dt):
                     float(fetched['miou'][idx]))
 
 
+def _banked_train_chunks_factory(train_step, bank, mesh):
+    """Chunked scan training for device-bank mode: K train steps per
+    dispatch. The per-step path pays a dispatch + H2D of the index batch
+    per step (~11 ms of overhead against ~6 ms of compute at B=32);
+    scanning K steps amortizes that to one dispatch per chunk. The PRNG
+    key is carried and split inside the scan exactly like the host loop
+    (key, sk = split(key) per step), so the chunked path consumes the
+    SAME key stream and reproduces the per-step run bit-for-bit
+    (tests/test_train_scan.py)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from .parallel.mesh import DATA_AXIS
+    inner = train_step.inner
+    sharding = NamedSharding(mesh, P(None, DATA_AXIS))
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def run_chunk(state, key, batches, feats, emb):
+        def body(carry, b):
+            st, k = carry
+            k, sk = jax.random.split(k)
+            b = dict(b)
+            b['bank_feats'] = feats
+            b['bank_emb'] = emb
+            st, m = inner(st, b, sk)
+            return (st, k), m
+        (state, key), ms = jax.lax.scan(body, (state, key), batches)
+        # chunk-mean metrics: the epoch average and the log lines only
+        # need means; per-step values would be a [K]-fetch for nothing
+        return state, key, jax.tree.map(lambda a: a.mean(0), ms)
+
+    def run(state, key, host_chunk):
+        arrays = {}
+        for k in host_chunk[0]:
+            if k in ('vid', 'sentence', 'n_valid'):
+                continue
+            arrays[k] = np.stack([np.asarray(b[k]) for b in host_chunk])
+        dev = {k: jax.device_put(v, sharding) for k, v in arrays.items()}
+        return run_chunk(state, key, dev, bank.feats, bank.embeddings)
+
+    return run
+
+
 def main_train(params: Dict[str, Any]) -> Dict[str, Any]:
     logger = setup_logger(params['alias'])
     saver = RunManager(params)
@@ -316,35 +358,81 @@ def main_train(params: Dict[str, Any]) -> Dict[str, Any]:
     valid_step = make_gmd_valid_step(
         model, params, lg,
         assembler=valid_bank.assemble if valid_bank else None)
+    chunk = int(params.get('train_scan_chunk', 16))
+    run_chunk = None
+    if train_bank is not None and jax.process_count() == 1 and chunk > 1:
+        run_chunk = _banked_train_chunks_factory(train_step, train_bank,
+                                                 mesh)
 
     statistics = {'loss': {}, 'mIoU': {}}
+    log_iv = params['batch_log_interval']
+    check_iv = params.get('nan_check_interval', 100)
     for step_epoch in range(params['epoch']):
         t0 = time.time()
         epoch_metrics = []
-        for idx, (batch, sb) in enumerate(
-                device_prefetch(train_loader, mesh,
-                                params.get('host_prefetch', 2),
-                                bank=train_bank)):
+        if run_chunk is not None:
+            # chunked scan training: K steps per dispatch
+            pending = []
+            idx = 0
             t_b = time.time()
-            key, sk = jax.random.split(key)
-            state, metrics = train_step(state, sb, sk)
-            epoch_metrics.append(metrics)
-            do_log = params['batch_log_interval'] != -1 and \
-                idx % params['batch_log_interval'] == 0
-            # watchdog runs on its own unconditional cadence so disabling
-            # batch logging (-1) cannot disable failure detection
-            do_check = idx % params.get('nan_check_interval', 100) == 0
-            if do_log or do_check:
-                m = jax.device_get(metrics)
-                if do_log:
-                    logger.info(
-                        'train: epoch[%03d], batch[%04d/%04d], elapsed time=%0.2fs, '
-                        'loss: %03.3f, miou: %03.3f, loss_g: %03.3f, '
-                        'loss_intra: %03.3f, loss_inter: %03.3f, loss_d: %03.3f',
-                        step_epoch, idx, len(train_loader), time.time() - t_b,
-                        m['loss'], m['miou'], m['loss_g'], m['loss_intra'],
-                        m['loss_inter'], m['loss_d'])
-                _check_finite(m, state, saver, key, logger, step_epoch, idx)
+
+            def flush(pending, state, key, idx, t_b):
+                state, key, m = run_chunk(state, key, pending)
+                epoch_metrics.append(m)
+                do_log = log_iv != -1 and (idx // max(log_iv, 1)) != \
+                    ((idx + len(pending)) // max(log_iv, 1))
+                do_check = (idx // check_iv) != \
+                    ((idx + len(pending)) // check_iv)
+                if do_log or do_check:
+                    mh = jax.device_get(m)
+                    if do_log:
+                        logger.info(
+                            'train: epoch[%03d], batch[%04d/%04d], elapsed '
+                            'time=%0.2fs, loss: %03.3f, miou: %03.3f, '
+                            'loss_g: %03.3f, loss_intra: %03.3f, '
+                            'loss_inter: %03.3f, loss_d: %03.3f',
+                            step_epoch, idx, len(train_loader),
+                            time.time() - t_b, mh['loss'], mh['miou'],
+                            mh['loss_g'], mh['loss_intra'],
+                            mh['loss_inter'], mh['loss_d'])
+                    _check_finite(mh, state, saver, key, logger, step_epoch,
+                                  idx)
+                return state, key
+
+            for batch in train_loader:
+                pending.append(batch)
+                if len(pending) == chunk:
+                    state, key = flush(pending, state, key, idx, t_b)
+                    idx += len(pending)
+                    pending = []
+                    t_b = time.time()
+            if pending:  # tail chunk (shorter scan; compiles once)
+                state, key = flush(pending, state, key, idx, t_b)
+        else:
+            for idx, (batch, sb) in enumerate(
+                    device_prefetch(train_loader, mesh,
+                                    params.get('host_prefetch', 2),
+                                    bank=train_bank)):
+                t_b = time.time()
+                key, sk = jax.random.split(key)
+                state, metrics = train_step(state, sb, sk)
+                epoch_metrics.append(metrics)
+                do_log = log_iv != -1 and idx % log_iv == 0
+                # watchdog runs on its own unconditional cadence so
+                # disabling batch logging (-1) cannot disable failure
+                # detection
+                do_check = idx % check_iv == 0
+                if do_log or do_check:
+                    m = jax.device_get(metrics)
+                    if do_log:
+                        logger.info(
+                            'train: epoch[%03d], batch[%04d/%04d], elapsed time=%0.2fs, '
+                            'loss: %03.3f, miou: %03.3f, loss_g: %03.3f, '
+                            'loss_intra: %03.3f, loss_inter: %03.3f, loss_d: %03.3f',
+                            step_epoch, idx, len(train_loader), time.time() - t_b,
+                            m['loss'], m['miou'], m['loss_g'], m['loss_intra'],
+                            m['loss_inter'], m['loss_d'])
+                    _check_finite(m, state, saver, key, logger, step_epoch, idx)
         epoch_metrics = jax.device_get(epoch_metrics)
         avg_loss = _avg(epoch_metrics, 'loss')
         epoch_secs = time.time() - t0

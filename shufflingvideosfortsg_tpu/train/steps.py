@@ -39,12 +39,16 @@ def _stats(start_prob, end_prob, batch, lg_frame2sec: bool):
 
 class JittedStep:
     """A jitted step that also exposes its traceable body (``inner``) so
-    drivers can embed it inside a whole-epoch ``lax.scan``
-    (cli._banked_eval_epoch) instead of dispatching per batch."""
+    drivers can embed it inside a whole-epoch/chunked ``lax.scan``
+    (cli._banked_eval_epoch / cli._banked_train_chunks_factory) instead of
+    dispatching per batch."""
 
-    def __init__(self, fn):
+    def __init__(self, fn, donate_argnums=None):
         self.inner = fn
-        self._jit = jax.jit(fn)
+        if donate_argnums is not None:
+            self._jit = jax.jit(fn, donate_argnums=donate_argnums)
+        else:
+            self._jit = jax.jit(fn)
 
     def __call__(self, *args, **kwargs):
         return self._jit(*args, **kwargs)
@@ -86,7 +90,6 @@ def make_gmd_train_step(model, params: Dict[str, Any],
                'start_prob': out['start_prob'], 'end_prob': out['end_prob']}
         return loss, aux
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
                    key: jax.Array) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         if assembler is not None:
@@ -117,7 +120,7 @@ def make_gmd_train_step(model, params: Dict[str, Any],
         aux['miou'] = miou
         return state, aux
 
-    return train_step
+    return JittedStep(train_step, donate_argnums=(0,))
 
 
 def make_gmd_valid_step(model, params: Dict[str, Any],
@@ -187,7 +190,6 @@ def make_gmd_test_step(model, lg_frame2sec: bool = False, assembler=None):
 
 def make_baseline_train_step(model, params: Dict[str, Any],
                              lg_frame2sec: bool = False, assembler=None):
-    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch, key):
         if assembler is not None:
             batch = assembler(batch)
@@ -207,7 +209,7 @@ def make_baseline_train_step(model, params: Dict[str, Any],
                             lg_frame2sec)
         return state, {'loss': loss, 'miou': miou}
 
-    return train_step
+    return JittedStep(train_step, donate_argnums=(0,))
 
 
 def make_baseline_eval_step(model, lg_frame2sec: bool = False,

@@ -142,3 +142,16 @@ def test_maybe_device_bank_gating(pack_dir):
     ds5 = _dataset(params)
     ds5.pack = None
     assert maybe_device_bank(params, ds5, mesh) is None
+
+
+def test_chunked_upload_reconstructs_exactly():
+    """_upload_replicated with a small chunk size (forcing the donated
+    dynamic_update_slice path) reproduces the host array bit-for-bit."""
+    from shufflingvideosfortsg_tpu.data.device_bank import _upload_replicated
+    from shufflingvideosfortsg_tpu.parallel.mesh import replicated_sharding
+
+    mesh = create_mesh([1])
+    host = np.arange(997 * 16, dtype=np.float16).reshape(997, 16)
+    out = _upload_replicated(host, replicated_sharding(mesh),
+                             chunk_bytes=100 * 16 * 2)  # 100-row chunks
+    np.testing.assert_array_equal(np.asarray(out), host)

@@ -141,3 +141,50 @@ def test_grounder_bank_api(model_and_params, rng):
         p1, s1 = g.ground(videos[v], queries[sel])
         np.testing.assert_allclose(pred[sel], p1, atol=1e-5)
         np.testing.assert_allclose(score[sel], s1, rtol=1e-4, atol=1e-6)
+
+
+def test_corpus_bank_from_pack(model_and_params, rng, tmp_path):
+    """set_corpus: the whole-pack block-0 bank (built chunk-wise with a
+    donated dynamic-slice writer) serves any (query, vid) pair identically
+    to pinning that video alone."""
+    import json
+    import struct
+
+    model, params = model_and_params
+    # write a tiny FEATPAK1 pack directly (7 videos so chunk_videos=4
+    # exercises the multi-chunk + tail path)
+    V = 7
+    feats = rng.randn(V, T, DV).astype(np.float16)
+    pack_dir = tmp_path / 'pack'
+    pack_dir.mkdir()
+    with open(pack_dir / 'pack.bin', 'wb') as f:
+        f.write(struct.pack('<8sIIIIQ', b'FEATPAK1', V, T, DV, 1, 0))
+        f.write(feats.tobytes())
+    vids = {f'v{i:03d}': i for i in range(V)}
+    json.dump({'vids': vids, 'nfeats': [T] * V, 't': T, 'd': DV,
+               'dtype': 'f16', 'mode': 'raw'},
+              open(pack_dir / 'index.json', 'w'))
+
+    from shufflingvideosfortsg_tpu.data.featpack import PackedFeatureSource
+    pack = PackedFeatureSource(str(pack_dir), use_native=False)
+
+    cfg = dict(sent_rnn_hiddendim=8, sent_rnn_layers=1,
+               video_encoder='query_aware_encoder', video_rnn_hiddendim=8,
+               video_rnn_layers=1, crossmodal='vs', predictor='mlp',
+               mlp_hidden_dim=8, span_hidden_dim=8, mask=False, dropout=0.0,
+               m_temp='none', m_pred_hidden=16, m_pred_activ='relu',
+               precision='f32', mesh_shape=[8])
+    g = MultiQueryGrounder(cfg, params, query_batch=8)
+    g.set_corpus(pack, chunk_videos=4)
+
+    queries = rng.randn(10, N, 300).astype(np.float32)
+    names = [f'v{i % V:03d}' for i in range(10)]
+    pred, score = g.ground_vids(queries, names)
+    assert pred.shape == (10, 2) and score.shape == (10,)
+    for v in range(V):
+        sel = [i for i, n in enumerate(names) if n == f'v{v:03d}']
+        if not sel:
+            continue
+        p1, s1 = g.ground(pack.gather(np.asarray([v]))[0], queries[sel])
+        np.testing.assert_allclose(pred[sel], p1, atol=1e-5)
+        np.testing.assert_allclose(score[sel], s1, rtol=1e-4, atol=1e-6)

@@ -310,6 +310,34 @@ def _banked_train_chunks_factory(train_step, bank, mesh):
     return run
 
 
+def _eval_epoch(step, model_params, loader, bank, mesh, key=None):
+    """One eval pass over ``loader``: (host_batches, fetched outputs).
+
+    Device-bank single-process runs use the whole-epoch scan
+    (_banked_eval_epoch); everything else enqueues per batch into an
+    OutputAccumulator and fetches once. ``key`` threads per-batch PRNG
+    keys (valid steps' on-device pseudo draws).
+    """
+    if bank is not None and jax.process_count() == 1:
+        host_batches = list(loader)
+        keys = None if key is None else jax.random.split(key,
+                                                         len(host_batches))
+        return host_batches, _banked_eval_epoch(step, model_params,
+                                                host_batches, bank, mesh,
+                                                keys=keys)
+    host_batches = []
+    acc = OutputAccumulator(len(loader))
+    for batch in loader:
+        sb = shard_batch(mesh, batch, bank)
+        host_batches.append(batch)
+        if key is None:
+            acc.append(step(model_params, sb))
+        else:
+            key, sk = jax.random.split(key)
+            acc.append(step(model_params, sb, sk))
+    return host_batches, acc.fetch()
+
+
 def main_train(params: Dict[str, Any]) -> Dict[str, Any]:
     logger = setup_logger(params['alias'])
     saver = RunManager(params)
@@ -472,20 +500,8 @@ def run_valid(valid_step, state, loader, dataset, params, logger, epoch,
               saver: Optional[RunManager], mesh, key, bank=None) -> float:
     pred_dict = _new_pred_dict(params)
     t0 = time.time()
-    if bank is not None and jax.process_count() == 1:
-        host_batches = list(loader)
-        keys = jax.random.split(key, len(host_batches))
-        fetched = _banked_eval_epoch(valid_step, state.params, host_batches,
-                                     bank, mesh, keys=keys)
-    else:
-        host_batches = []
-        acc = OutputAccumulator(len(loader))
-        for idx, batch in enumerate(loader):
-            key, sk = jax.random.split(key)
-            sb = shard_batch(mesh, batch, bank)
-            host_batches.append(batch)
-            acc.append(valid_step(state.params, sb, sk))
-        fetched = acc.fetch()
+    host_batches, fetched = _eval_epoch(valid_step, state.params, loader,
+                                        bank, mesh, key=key)
     all_metrics = [{k: float(fetched[k][i]) for k in
                     ('loss', 'loss_g', 'loss_intra', 'loss_inter', 'miou')}
                    for i in range(len(host_batches))]
@@ -551,32 +567,11 @@ def main_test(params: Dict[str, Any]) -> str:
         model, lg, assembler=test_bank.assemble if test_bank else None)
     pred_dict = _new_pred_dict(params)
     t0 = time.time()
-    if test_bank is not None and jax.process_count() == 1:
-        # whole epoch as one scan dispatch (see _banked_eval_epoch)
-        host_batches = list(test_loader)
-        fetched = _banked_eval_epoch(test_step, model_params, host_batches,
-                                     test_bank, mesh)
-        _log_eval_batches(logger, 'test', fetched, len(host_batches),
-                          params['batch_log_interval'],
-                          (time.time() - t0) / max(len(host_batches), 1))
-    else:
-        # per-batch dispatch; enqueue all, fetch once at the end
-        host_batches = []
-        acc = OutputAccumulator(len(test_loader))
-        for idx, batch in enumerate(test_loader):
-            t_b = time.time()
-            sb = shard_batch(mesh, batch, test_bank)
-            out = test_step(model_params, sb)
-            host_batches.append(batch)
-            acc.append(out)
-            if params['batch_log_interval'] != -1 and \
-                    idx % params['batch_log_interval'] == 0:
-                logger.info('test: epoch[%03d], batch[%04d/%04d], elapsed '
-                            'time=%0.2fs, loss: %03.3f, miou: %03.3f', 0, idx,
-                            len(test_loader), time.time() - t_b,
-                            float(host_local_rows(out['loss'])),
-                            float(host_local_rows(out['miou'])))
-        fetched = acc.fetch()
+    host_batches, fetched = _eval_epoch(test_step, model_params,
+                                        test_loader, test_bank, mesh)
+    _log_eval_batches(logger, 'test', fetched, len(host_batches),
+                      params['batch_log_interval'],
+                      (time.time() - t0) / max(len(host_batches), 1))
     losses = [float(x) for x in fetched['loss']]
     mious = [float(x) for x in fetched['miou']]
     for batch, pt, sc in zip(host_batches, fetched['pred_time'],
@@ -692,18 +687,8 @@ def run_eval_collect(eval_step, model_params, loader, params, logger, epoch,
                      saver, mesh, submit_key, bank=None) -> float:
     pred_dict = _new_pred_dict(params)
     t0 = time.time()
-    if bank is not None and jax.process_count() == 1:
-        host_batches = list(loader)
-        fetched = _banked_eval_epoch(eval_step, model_params, host_batches,
-                                     bank, mesh)
-    else:
-        host_batches = []
-        acc = OutputAccumulator(len(loader))
-        for batch in loader:
-            sb = shard_batch(mesh, batch, bank)
-            host_batches.append(batch)
-            acc.append(eval_step(model_params, sb))
-        fetched = acc.fetch()
+    host_batches, fetched = _eval_epoch(eval_step, model_params, loader,
+                                        bank, mesh)
     losses = [float(x) for x in fetched['loss']]
     mious = [float(x) for x in fetched['miou']]
     for i, batch in enumerate(host_batches):
@@ -748,18 +733,8 @@ def main_test_baseline(params: Dict[str, Any]) -> str:
         model, lg, assembler=test_bank.assemble if test_bank else None)
     pred_dict = _new_pred_dict(params)
     t0 = time.time()
-    if test_bank is not None and jax.process_count() == 1:
-        host_batches = list(test_loader)
-        fetched = _banked_eval_epoch(eval_step, model_params, host_batches,
-                                     test_bank, mesh)
-    else:
-        host_batches = []
-        acc = OutputAccumulator(len(test_loader))
-        for idx, batch in enumerate(test_loader):
-            sb = shard_batch(mesh, batch, test_bank)
-            host_batches.append(batch)
-            acc.append(eval_step(model_params, sb))
-        fetched = acc.fetch()
+    host_batches, fetched = _eval_epoch(eval_step, model_params,
+                                        test_loader, test_bank, mesh)
     losses = [float(x) for x in fetched['loss']]
     mious = [float(x) for x in fetched['miou']]
     for i, batch in enumerate(host_batches):

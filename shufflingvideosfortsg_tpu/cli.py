@@ -33,7 +33,7 @@ from .data.pipeline import BatchLoader, SentenceGroundingDataset
 from .eval.iou import retrieval_eval
 from .models import build_model
 from .parallel.mesh import (OutputAccumulator, create_mesh, device_prefetch,
-                            host_local_rows, replicate_tree, shard_batch)
+                            replicate_tree, shard_batch)
 from .train.state import create_train_state, make_optimizer
 from .train.steps import (make_baseline_eval_step, make_baseline_train_step,
                           make_gmd_test_step, make_gmd_train_step,

@@ -56,11 +56,55 @@ class MultiQueryGrounder:
             pred, score = span_decode(out['start_prob'], out['end_prob'])
             return pred, score
 
+        @jax.jit
+        def _serve_multi_tokens(p, bank, emb, token_ids, video_ids):
+            queries = jnp.take(emb, token_ids.astype(jnp.int32), axis=0)
+            out = model.apply({'params': p}, bank, queries, video_ids,
+                              method=model.serve_cached_multi)
+            pred, score = span_decode(out['start_prob'], out['end_prob'])
+            return pred, score
+
         self._precompute = _precompute
         self._serve = _serve
         self._serve_multi = _serve_multi
+        self._serve_multi_tokens = _serve_multi_tokens
         self._resident_rnn0: Optional[jnp.ndarray] = None
         self._resident_bank: Optional[jnp.ndarray] = None
+        self._resident_emb: Optional[jnp.ndarray] = None
+
+    def set_vocab(self, embeddings: np.ndarray) -> None:
+        """Pin the GloVe matrix [V_words, 300] on device so queries can be
+        served as TOKEN IDS (ground_tokens): a 512-query batch then ships
+        ~30 KB of int32 instead of ~9 MB of f32 features — the feature
+        upload was the corpus-serving bottleneck on slow host links."""
+        self._resident_emb = jax.device_put(
+            jnp.asarray(embeddings, jnp.float32),
+            replicated_sharding(self.mesh))
+
+    def ground_tokens(self, token_ids: np.ndarray, video_ids: np.ndarray
+                      ) -> Tuple[np.ndarray, np.ndarray]:
+        """Ground query i (token ids [Q, N], pad id 0) against resident
+        bank video ``video_ids[i]``; embedding happens on device against
+        the :meth:`set_vocab` matrix."""
+        assert self._resident_bank is not None, 'no video bank set'
+        assert self._resident_emb is not None, 'no vocab set'
+        Q, qb = token_ids.shape[0], self.query_batch
+        preds, scores = [], []
+        qsharding = batch_sharding(self.mesh)
+        for i in range(0, Q, qb):
+            chunk, ids = token_ids[i:i + qb], video_ids[i:i + qb]
+            n = len(chunk)
+            if n < qb:
+                chunk = np.concatenate(
+                    [chunk, np.repeat(chunk[-1:], qb - n, axis=0)], axis=0)
+                ids = np.concatenate([ids, np.repeat(ids[-1:], qb - n)])
+            pred, score = self._serve_multi_tokens(
+                self.model_params, self._resident_bank, self._resident_emb,
+                jax.device_put(jnp.asarray(chunk, jnp.int32), qsharding),
+                jax.device_put(jnp.asarray(ids, jnp.int32), qsharding))
+            preds.append(np.asarray(pred)[:n])
+            scores.append(np.asarray(score)[:n])
+        return np.concatenate(preds), np.concatenate(scores)
 
     def set_video(self, video_feats: np.ndarray) -> None:
         """Pin a [T, D] video on device: runs the query-independent block-0

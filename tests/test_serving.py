@@ -188,3 +188,26 @@ def test_corpus_bank_from_pack(model_and_params, rng, tmp_path):
         p1, s1 = g.ground(pack.gather(np.asarray([v]))[0], queries[sel])
         np.testing.assert_allclose(pred[sel], p1, atol=1e-5)
         np.testing.assert_allclose(score[sel], s1, rtol=1e-4, atol=1e-6)
+
+
+def test_ground_tokens_equals_ground_bank(model_and_params, rng):
+    """Token-id serving (resident GloVe matrix, on-device embedding) must
+    equal feature serving when the features are that matrix's rows."""
+    model, params = model_and_params
+    cfg = dict(sent_rnn_hiddendim=8, sent_rnn_layers=1,
+               video_encoder='query_aware_encoder', video_rnn_hiddendim=8,
+               video_rnn_layers=1, crossmodal='vs', predictor='mlp',
+               mlp_hidden_dim=8, span_hidden_dim=8, mask=False, dropout=0.0,
+               m_temp='none', m_pred_hidden=16, m_pred_activ='relu',
+               precision='f32', mesh_shape=[8])
+    g = MultiQueryGrounder(cfg, params, query_batch=8)
+    videos = rng.randn(3, T, DV).astype(np.float32)
+    g.set_videos(videos)
+    emb = rng.randn(50, 300).astype(np.float32)
+    g.set_vocab(emb)
+    token_ids = rng.randint(0, 50, (11, N)).astype(np.int32)
+    ids = (np.arange(11) % 3).astype(np.int32)
+    p_tok, s_tok = g.ground_tokens(token_ids, ids)
+    p_feat, s_feat = g.ground_bank(emb[token_ids], ids)
+    np.testing.assert_allclose(p_tok, p_feat, atol=1e-5)
+    np.testing.assert_allclose(s_tok, s_feat, rtol=1e-5, atol=1e-6)

@@ -144,6 +144,75 @@ def bench_serve(args):
     }), flush=True)
 
 
+def bench_serve_corpus(args):
+    """Corpus serving: the whole feature pack resident as a block-0
+    recurrence bank; mixed token-id query traffic (serving.set_corpus /
+    ground_tokens). Builds a synthetic Charades-CD-sized pack under
+    --pack if one is not already there."""
+    import os
+    import subprocess
+    import sys
+
+    from shufflingvideosfortsg_tpu.config import load_config
+    from shufflingvideosfortsg_tpu.data.featpack import (PackedFeatureSource,
+                                                         is_featpack_dir)
+    from shufflingvideosfortsg_tpu.models import build_model
+    from shufflingvideosfortsg_tpu.serving import MultiQueryGrounder
+
+    if not is_featpack_dir(args.pack):
+        annos = [os.path.join(args.anno_root,
+                              'Charades-CD/charades_%s.json' % s)
+                 for s in ('train', 'val', 'test_ood')]
+        if not all(os.path.isfile(a) for a in annos):
+            print(json.dumps({'metric': 'corpus_serving_queries_per_sec',
+                              'value': 0, 'unit': 'queries/s',
+                              'vs_baseline': 0,
+                              'note': 'annotations unavailable'}),
+                  flush=True)
+            return
+        subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          'tools/make_synth_pack.py'),
+             '--annotations', *annos, '--out', args.pack,
+             '--t', '128', '--d', '1024', '--dtype', 'f16'], check=True)
+
+    T, N = 128, 15
+    params = load_config(None, overrides={
+        'video_len': T, 'sent_len': N, 'video_feature_dim': 1024,
+        'precision': args.precision})
+    model = build_model(params, 'gmd', inference=True)
+    rng = np.random.RandomState(0)
+    mt = jnp.ones((2, T), jnp.int32)
+    mn = jnp.ones((2, N), jnp.int32)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((2, N, 300)), mn,
+        jnp.zeros((2, T, 1024)), mt, jnp.zeros((2, T, 1024)), mt,
+        mt, mt, mt, mt, mt, mt)
+    g = MultiQueryGrounder(params, variables['params'],
+                           query_batch=args.batch)
+    pack = PackedFeatureSource(args.pack)
+    g.set_corpus(pack, chunk_videos=256)
+    g.set_vocab(rng.randn(1294, 300).astype(np.float32))
+    Q = args.batch
+    token_ids = rng.randint(0, 1294, (Q, N)).astype(np.int32)
+    ids = rng.randint(0, pack.num_videos, Q).astype(np.int32)
+    g.ground_tokens(token_ids, ids)  # compile + warm
+    for _ in range(args.warmup):
+        g.ground_tokens(token_ids, ids)
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        g.ground_tokens(token_ids, ids)
+    dt = time.perf_counter() - t0
+    qps = args.iters * Q / dt
+    print(json.dumps({
+        'metric': f'corpus_serving_queries_per_sec_{pack.num_videos}videos',
+        'value': round(qps, 1),
+        'unit': 'queries/s',
+        'vs_baseline': round(qps / BASELINE_SENT_PER_S, 2),
+    }), flush=True)
+
+
 def bench_eval(args, dataset=None):
     from shufflingvideosfortsg_tpu.config import load_config
     from shufflingvideosfortsg_tpu.models import build_model
@@ -202,8 +271,14 @@ def bench_eval(args, dataset=None):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--mode', default='all',
-                    choices=['all', 'eval', 'train', 'serve'])
+                    choices=['all', 'eval', 'train', 'serve',
+                             'serve-corpus'])
     ap.add_argument('--serve-video-len', type=int, default=1024)
+    ap.add_argument('--pack', default='/tmp/soak/charades_pack_f16',
+                    help='featpack dir for --mode serve-corpus '
+                         '(built if absent)')
+    ap.add_argument('--anno-root', default='/root/reference/data',
+                    help='annotation root for building the corpus pack')
     ap.add_argument('--batch', type=int, default=512)
     ap.add_argument('--train-batch', type=int, default=64,
                     help='batch for --mode train/all training measurement')
@@ -226,6 +301,8 @@ def main():
         bench_train(args)
     elif args.mode == 'serve':
         bench_serve(args)
+    elif args.mode == 'serve-corpus':
+        bench_serve_corpus(args)
     else:
         bench_eval(args)
 

@@ -235,26 +235,35 @@ def _banked_eval_epoch(step, model_params, host_batches, bank, mesh,
     dev = {k: jax.device_put(v, sharding) for k, v in arrays.items()}
     inner = step.inner
 
+    # the jitted epoch closure is cached on the step object: a fresh
+    # closure per call would RETRACE (and remote-recompile) the whole
+    # scan on every validation epoch of a training run
+    attr = '_epoch_scan' if keys is None else '_epoch_scan_keys'
+    epoch = getattr(step, attr, None)
+    if epoch is None:
+        if keys is None:
+            @jax.jit
+            def epoch(p, batches, feats, emb):
+                def body(_, b):
+                    b = dict(b)
+                    b['bank_feats'] = feats
+                    b['bank_emb'] = emb
+                    return None, inner(p, b)
+                return jax.lax.scan(body, None, batches)[1]
+        else:
+            @jax.jit
+            def epoch(p, batches, ks, feats, emb):
+                def body(_, xs):
+                    b, kk = xs
+                    b = dict(b)
+                    b['bank_feats'] = feats
+                    b['bank_emb'] = emb
+                    return None, inner(p, b, kk)
+                return jax.lax.scan(body, None, (batches, ks))[1]
+        setattr(step, attr, epoch)
     if keys is None:
-        @jax.jit
-        def epoch(p, batches, feats, emb):
-            def body(_, b):
-                b = dict(b)
-                b['bank_feats'] = feats
-                b['bank_emb'] = emb
-                return None, inner(p, b)
-            return jax.lax.scan(body, None, batches)[1]
         outs = epoch(model_params, dev, bank.feats, bank.embeddings)
     else:
-        @jax.jit
-        def epoch(p, batches, ks, feats, emb):
-            def body(_, xs):
-                b, kk = xs
-                b = dict(b)
-                b['bank_feats'] = feats
-                b['bank_emb'] = emb
-                return None, inner(p, b, kk)
-            return jax.lax.scan(body, None, (batches, ks))[1]
         outs = epoch(model_params, dev, keys, bank.feats, bank.embeddings)
     return {k: np.asarray(v) for k, v in outs.items()}
 

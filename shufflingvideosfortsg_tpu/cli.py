@@ -407,6 +407,7 @@ def main_train(params: Dict[str, Any]) -> Dict[str, Any]:
     for step_epoch in range(params['epoch']):
         t0 = time.time()
         epoch_metrics = []
+        metric_weights = []
         if run_chunk is not None:
             # chunked scan training: K steps per dispatch
             pending = []
@@ -416,6 +417,7 @@ def main_train(params: Dict[str, Any]) -> Dict[str, Any]:
             def flush(pending, state, key, idx, t_b):
                 state, key, m = run_chunk(state, key, pending)
                 epoch_metrics.append(m)
+                metric_weights.append(len(pending))
                 do_log = log_iv != -1 and (idx // max(log_iv, 1)) != \
                     ((idx + len(pending)) // max(log_iv, 1))
                 do_check = (idx // check_iv) != \
@@ -471,18 +473,24 @@ def main_train(params: Dict[str, Any]) -> Dict[str, Any]:
                             m['loss_inter'], m['loss_d'])
                     _check_finite(m, state, saver, key, logger, step_epoch, idx)
         epoch_metrics = jax.device_get(epoch_metrics)
-        avg_loss = _avg(epoch_metrics, 'loss')
+        w = metric_weights or None  # chunk-mean entries weight by size
+
+        def eavg(k):
+            return float(np.average([float(m[k]) for m in epoch_metrics],
+                                    weights=w))
+
+        avg_loss = eavg('loss')
         epoch_secs = time.time() - t0
         logger.info('epoch [%03d]: elapsed time:%0.2fs, avg loss: %03.3f, '
                     'miou: %03.3f', step_epoch, epoch_secs, avg_loss,
-                    _avg(epoch_metrics, 'miou'))
+                    eavg('miou'))
         saver.log_metrics({
             'epoch': step_epoch, 'phase': 'train', 'seconds': epoch_secs,
-            'loss': avg_loss, 'miou': _avg(epoch_metrics, 'miou'),
-            'loss_g': _avg(epoch_metrics, 'loss_g'),
-            'loss_intra': _avg(epoch_metrics, 'loss_intra'),
-            'loss_inter': _avg(epoch_metrics, 'loss_inter'),
-            'loss_d': _avg(epoch_metrics, 'loss_d')})
+            'loss': avg_loss, 'miou': eavg('miou'),
+            'loss_g': eavg('loss_g'),
+            'loss_intra': eavg('loss_intra'),
+            'loss_inter': eavg('loss_inter'),
+            'loss_d': eavg('loss_d')})
 
         if (step_epoch + 1) % params['test_interval'] == 0 or step_epoch == 0:
             statistics['loss'][step_epoch] = round(avg_loss, 3)

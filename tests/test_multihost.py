@@ -20,7 +20,7 @@ ANNO = "/root/reference/data/Charades-CD/charades_val.json"
 @pytest.mark.skipif(not os.path.isfile(ANNO),
                     reason="reference annotations unavailable")
 def test_multihost_one_step_loss_matches_single_process():
-    for attempt in range(2):
+    for attempt in range(3):
         proc = subprocess.run(
             [sys.executable, os.path.join(REPO, 'tools/dryrun_multihost.py')],
             capture_output=True, text=True, timeout=880)

@@ -209,3 +209,32 @@ def test_shuffle_functions_reject_non_integer_seg_len(bad):
                aug.shuffle_temporal_order_by_short_segments2):
         with pytest.raises(ValueError, match='seg_len'):
             fn([10, 20], NFEATS, ramp_video(), bad)
+
+
+def test_device_translate_matches_host_randomized_sweep():
+    """Randomized device==host equivalence over many (span, nfeats,
+    insertion-offset) combinations, including boundary spans and short
+    videos — generalizes the fixed fixture cases above."""
+    rng = np.random.RandomState(1234)
+    for _ in range(200):
+        nfeats = int(rng.randint(2, T + 1))
+        s = int(rng.randint(0, nfeats))
+        e = int(rng.randint(s, nfeats))
+        L = e - s + 1
+        wo_len = nfeats - L
+        cropin = int(rng.randint(0, max(wo_len, 0) + 1))
+        video = np.zeros((1, T, 3), np.float32)
+        video[0, :nfeats] = rng.randn(nfeats, 3).astype(np.float32)
+
+        want_ftps, want_n, want = DataAugmentForTSG.gt_moment_translate_at(
+            (s, e), nfeats, video, cropin)
+        idx, ns, ne = gt_translate_indices(
+            jnp.int32(s), jnp.int32(e), jnp.int32(nfeats),
+            jnp.int32(cropin), T)
+        got = np.asarray(jnp.take_along_axis(
+            jnp.array(video[0]), np.asarray(idx)[:, None], axis=0))
+        np.testing.assert_array_equal(got, want[0],
+                                      err_msg=f's={s} e={e} n={nfeats} '
+                                              f'cropin={cropin}')
+        assert [int(ns), int(ne)] == list(want_ftps)
+        assert want_n == nfeats

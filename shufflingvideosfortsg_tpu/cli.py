@@ -13,7 +13,7 @@ import functools
 import logging
 import os
 import time
-from typing import Any, Dict, Optional
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import numpy as np
@@ -38,7 +38,8 @@ from .train.state import create_train_state, make_optimizer
 from .train.steps import (make_baseline_eval_step, make_baseline_train_step,
                           make_gmd_test_step, make_gmd_train_step,
                           make_gmd_valid_step)
-from .utils.saver import RunManager, load_checkpoint, restore_train_state
+from .utils.saver import (RunManager, latest_checkpoint, load_checkpoint,
+                          restore_train_state)
 
 
 # ---------------------------------------------------------------------------
@@ -319,6 +320,22 @@ def _banked_train_chunks_factory(train_step, bank, mesh):
     return run
 
 
+def _resolve_auto_resume(params) -> Tuple[bool, int]:
+    """Handle ``--start_from auto``: resolve the newest checkpoint of this
+    alias's own run dir (crash recovery / preemption restart). Returns
+    (allow_existing_run_dir, start_epoch). With no checkpoint yet the run
+    starts fresh at epoch 0 (reusing the dir if it exists)."""
+    if str(params.get('start_from') or '').lower() != 'auto':
+        return False, 0
+    model_dir = os.path.join(params['runs'], params['alias'], 'model')
+    found = latest_checkpoint(model_dir)
+    if found is None:
+        params['start_from'] = None
+        return os.path.isdir(os.path.dirname(model_dir)), 0
+    params['start_from'] = found[0]
+    return True, found[1] + 1
+
+
 def _eval_epoch(step, model_params, loader, bank, mesh, key=None):
     """One eval pass over ``loader``: (host_batches, fetched outputs).
 
@@ -349,7 +366,8 @@ def _eval_epoch(step, model_params, loader, bank, mesh, key=None):
 
 def main_train(params: Dict[str, Any]) -> Dict[str, Any]:
     logger = setup_logger(params['alias'])
-    saver = RunManager(params)
+    allow_existing, start_epoch = _resolve_auto_resume(params)
+    saver = RunManager(params, allow_existing=allow_existing)
     mesh = create_mesh(params.get('mesh_shape'))
     lg = str(params['vfeat_fn']).lower() == 'lg'
 
@@ -404,7 +422,7 @@ def main_train(params: Dict[str, Any]) -> Dict[str, Any]:
     statistics = {'loss': {}, 'mIoU': {}}
     log_iv = params['batch_log_interval']
     check_iv = params.get('nan_check_interval', 100)
-    for step_epoch in range(params['epoch']):
+    for step_epoch in range(start_epoch, params['epoch']):
         t0 = time.time()
         epoch_metrics = []
         metric_weights = []
@@ -611,7 +629,8 @@ def main_test(params: Dict[str, Any]) -> str:
 
 def main_train_baseline(params: Dict[str, Any]) -> Dict[str, Any]:
     logger = setup_logger(params['alias'])
-    saver = RunManager(params)
+    allow_existing, start_epoch = _resolve_auto_resume(params)
+    saver = RunManager(params, allow_existing=allow_existing)
     mesh = create_mesh(params.get('mesh_shape'))
     lg = str(params['vfeat_fn']).lower() == 'lg'
 
@@ -654,7 +673,7 @@ def main_train_baseline(params: Dict[str, Any]) -> Dict[str, Any]:
         model, lg, assembler=valid_bank.assemble if valid_bank else None)
 
     statistics = {'loss': {}, 'mIoU': {}}
-    for step_epoch in range(params['epoch']):
+    for step_epoch in range(start_epoch, params['epoch']):
         t0 = time.time()
         epoch_metrics = []
         for idx, (batch, sb) in enumerate(

@@ -28,7 +28,7 @@ MAGIC = b'SVTSG1\n'
 
 
 class RunManager:
-    def __init__(self, params: Dict[str, Any]):
+    def __init__(self, params: Dict[str, Any], allow_existing: bool = False):
         self.params = params
         self.root_folder = os.path.join(params['runs'], params['alias'])
         self.model_folder = os.path.join(self.root_folder, 'model')
@@ -37,15 +37,15 @@ class RunManager:
         # strictness, params.json); other hosts just ensure the dirs exist
         # (shared filesystem) so their submit shards have a home
         if jax.process_index() == 0:
-            self._init_dirs()
+            self._init_dirs(allow_existing)
             with open(os.path.join(self.root_folder, 'params.json'), 'w') as f:
                 json.dump(_jsonable(params), f)
         else:
             os.makedirs(self.model_folder, exist_ok=True)
             os.makedirs(self.submits_folder, exist_ok=True)
 
-    def _init_dirs(self):
-        if os.path.exists(self.root_folder):
+    def _init_dirs(self, allow_existing: bool = False):
+        if os.path.exists(self.root_folder) and not allow_existing:
             alias = self.params['alias']
             if alias.startswith('test') or alias.startswith('inference'):
                 shutil.rmtree(self.root_folder)
@@ -94,6 +94,26 @@ def _jsonable(obj):
     if isinstance(obj, np.ndarray):
         return obj.tolist()
     return obj
+
+
+def latest_checkpoint(model_dir: str) -> Optional[Tuple[str, int]]:
+    """Newest ``*_NNNNN.ckp`` in a run's model dir as (path, epoch), or
+    None. Powers ``--start_from auto`` crash recovery: the train drivers
+    resume from here and continue at epoch+1."""
+    if not os.path.isdir(model_dir):
+        return None
+    best: Optional[Tuple[str, int]] = None
+    for name in os.listdir(model_dir):
+        if not name.endswith('.ckp'):
+            continue
+        stem = name[:-4]
+        tail = stem.rsplit('_', 1)[-1]
+        if not tail.isdigit():
+            continue
+        epoch = int(tail)
+        if best is None or epoch > best[1]:
+            best = (os.path.join(model_dir, name), epoch)
+    return best
 
 
 def save_checkpoint(path: str, state, rng_key=None) -> None:

@@ -190,3 +190,29 @@ def test_banked_eval_equals_per_batch_eval(pack_env):
             np.testing.assert_allclose(a["timestamp"], b["timestamp"],
                                        atol=1e-4)
             np.testing.assert_allclose(a["score"], b["score"], rtol=1e-4)
+
+
+def test_auto_resume_continues_at_next_epoch(tiny_env):
+    """--start_from auto: a restarted run reuses its run dir, loads the
+    newest checkpoint, and continues at the following epoch — crash
+    recovery the reference never had (its resume path is commented out,
+    train.py:45-48)."""
+    make_params = tiny_env
+    params, runs = make_params("drv_resume", epoch=1)
+    cli.main_train(params)
+    assert os.path.isfile(os.path.join(
+        runs, "drv_resume", "model", "drv_resume_00000.ckp"))
+
+    # simulated restart: same alias, auto resume, larger epoch target
+    params2, _ = make_params("drv_resume", epoch=3, start_from="auto")
+    stats = cli.main_train(params2)
+    # epochs 1 and 2 ran (epoch 0 was not re-run)
+    assert 0 not in stats["loss"]
+    for e in (1, 2):
+        assert os.path.isfile(os.path.join(
+            runs, "drv_resume", "model", f"drv_resume_{e:05d}.ckp"))
+
+    # auto on a fresh alias starts from scratch at epoch 0
+    params3, _ = make_params("drv_fresh_auto", epoch=1, start_from="auto")
+    stats3 = cli.main_train(params3)
+    assert 0 in stats3["loss"]

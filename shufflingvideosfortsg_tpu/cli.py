@@ -320,6 +320,22 @@ def _banked_train_chunks_factory(train_step, bank, mesh):
     return run
 
 
+def _start_trace_if_requested() -> bool:
+    """SVTSG_TRACE_DIR=<dir> captures a jax.profiler (TensorBoard) trace of
+    the whole driver run; meant for short profiling runs (--epoch 1
+    --debug). Returns whether a trace was started."""
+    d = os.environ.get('SVTSG_TRACE_DIR')
+    if not d:
+        return False
+    jax.profiler.start_trace(d)
+    return True
+
+
+def _stop_trace(started: bool) -> None:
+    if started:
+        jax.profiler.stop_trace()
+
+
 def _resolve_auto_resume(params) -> Tuple[bool, int]:
     """Handle ``--start_from auto``: resolve the newest checkpoint of this
     alias's own run dir (crash recovery / preemption restart). Returns
@@ -419,6 +435,7 @@ def main_train(params: Dict[str, Any]) -> Dict[str, Any]:
         run_chunk = _banked_train_chunks_factory(train_step, train_bank,
                                                  mesh)
 
+    tracing = _start_trace_if_requested()
     statistics = {'loss': {}, 'mIoU': {}}
     log_iv = params['batch_log_interval']
     check_iv = params.get('nan_check_interval', 100)
@@ -527,6 +544,7 @@ def main_train(params: Dict[str, Any]) -> Dict[str, Any]:
             path = saver.save_checkpoint(step_epoch, state, key)
             logger.info('Save model in %s', path)
 
+    _stop_trace(tracing)
     _print_statistics(statistics)
     return statistics
 
@@ -672,6 +690,7 @@ def main_train_baseline(params: Dict[str, Any]) -> Dict[str, Any]:
     eval_step = make_baseline_eval_step(
         model, lg, assembler=valid_bank.assemble if valid_bank else None)
 
+    tracing = _start_trace_if_requested()
     statistics = {'loss': {}, 'mIoU': {}}
     for step_epoch in range(start_epoch, params['epoch']):
         t0 = time.time()
@@ -715,6 +734,7 @@ def main_train_baseline(params: Dict[str, Any]) -> Dict[str, Any]:
                 or (step_epoch + 1) == params['epoch']) and _is_proc0():
             path = saver.save_checkpoint(step_epoch, state, key)
             logger.info('Save model in %s', path)
+    _stop_trace(tracing)
     _print_statistics(statistics)
     return statistics
 

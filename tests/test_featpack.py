@@ -140,3 +140,57 @@ def test_pipeline_ships_f16_when_raw(packed_f16):
     assert b32["video_feat"].dtype == np.float32
     np.testing.assert_array_equal(
         b["video_feat"].astype(np.float32), b32["video_feat"])
+
+
+def test_pack_anet_duration_sampler_mode(tmp_path):
+    """The anet c3d samplers ('f2s'/'114') pool per (video, duration)
+    only, so they are packable: batches from the pack equal batches from
+    the per-file store."""
+    anno = "/root/reference/data/ANet-CD/anet_val.json"
+    if not os.path.isfile(anno):
+        pytest.skip("reference annotations unavailable")
+    feat_dir = str(tmp_path / "raw")
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools/make_synth_features.py"),
+         "--dataset", "anet", "--out", feat_dir, "--annotations", anno,
+         "--dim", "24"], check=True, capture_output=True)
+    # the ANet GloVe matrix is an external download; synthesize one
+    wordtoix = np.load("/root/reference/data/ANet/words/wordtoix.npy",
+                       allow_pickle=True).tolist()
+    emb_path = str(tmp_path / "anet_glove.npy")
+    np.save(emb_path, np.zeros((len(wordtoix), 300), np.float32))
+    pack_dir = str(tmp_path / "pack")
+    env = dict(os.environ, SVTSG_PLATFORM="cpu")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools/featpack.py"),
+         "--cfg", os.path.join(REPO, "cfgs/anet_cd_c3d.yml"),
+         "--annotation", anno, "--featpath", feat_dir, "--out", pack_dir,
+         "--data_root", "/root/reference/data",
+         "--word_fts_path", emb_path],
+        capture_output=True, env=env, text=True)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert is_featpack_dir(pack_dir)
+
+    params = load_config(os.path.join(REPO, "cfgs/anet_cd_c3d.yml"),
+                         data_root="/root/reference/data")
+    params["video_feature_dim"] = 24
+    params["word_fts_path"] = emb_path
+
+    def batch_from(feat):
+        p = dict(params)
+        ds = SentenceGroundingDataset(anno, feat, p, dataset_name="anet")
+        assert (ds.pack is not None) == (feat == pack_dir)
+        if feat != pack_dir:
+            assert ds._mode in ("114", "f2s")
+        loader = BatchLoader(ds, 8, shuffle=False, prefetch=0)
+        return next(iter(loader))
+
+    b_store = batch_from(feat_dir)
+    b_pack = batch_from(pack_dir)
+    np.testing.assert_allclose(b_pack["video_feat"],
+                               b_store["video_feat"].astype(np.float32),
+                               rtol=1e-6)
+    np.testing.assert_array_equal(b_pack["nfeats"], b_store["nfeats"])
+    np.testing.assert_array_equal(b_pack["framestps"], b_store["framestps"])
+    for k in ("video_mask", "temporal_labels", "fore_masks", "back_masks"):
+        np.testing.assert_array_equal(b_pack[k], b_store[k], err_msg=k)

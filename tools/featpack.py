@@ -37,8 +37,22 @@ def write_pack(out_dir: str, dataset: SentenceGroundingDataset,
                dtype: str) -> None:
     os.makedirs(out_dir, exist_ok=True)
     vids = sorted({s.vid for s in dataset.samples})
+    durations = {s.vid: s.duration for s in dataset.samples}
+    mode = dataset._mode
+
+    def pooled_row(vid):
+        if mode in ('pair', 'triple', '1to1'):
+            return dataset._pooled(vid)
+        # '114'/'f2s' pool from (video, duration) only — per-video
+        # deterministic, so packable; the per-sample framestamps use the
+        # same clip_framestamps rule the pack loader applies, and nfeats
+        # is per-video ('114': raw clip count; 'f2s': seconds)
+        out, _, nfeats = dataset._sample_features(vid, (0.0, 0.0),
+                                                  durations[vid])
+        return out, nfeats
+
     T = dataset.sample_len
-    first, _ = dataset._pooled(vids[0])
+    first, _ = pooled_row(vids[0])
     D = first.shape[-1]
     np_dtype = np.float16 if dtype == 'f16' else np.float32
     dtype_code = 1 if dtype == 'f16' else 0
@@ -48,7 +62,7 @@ def write_pack(out_dir: str, dataset: SentenceGroundingDataset,
     with open(bin_path, 'wb') as f:
         f.write(struct.pack(HEADER_FMT, MAGIC, len(vids), T, D, dtype_code, 0))
         for vid in vids:
-            pooled, nfeats = dataset._pooled(vid)
+            pooled, nfeats = pooled_row(vid)
             f.write(np.ascontiguousarray(pooled[0], dtype=np_dtype).tobytes())
             nfeats_list.append(int(nfeats))
     index = {
@@ -71,16 +85,23 @@ def main():
     ap.add_argument('--out', required=True)
     ap.add_argument('--dtype', choices=['f32', 'f16'], default='f32')
     ap.add_argument('--data_root', default=None)
+    ap.add_argument('--word_fts_path', default=None,
+                    help='override the GloVe matrix path (the ANet matrix '
+                         'is an external download; packing does not use '
+                         'embeddings but the dataset loads its vocab)')
     args = ap.parse_args()
 
     params = load_config(args.cfg, data_root=args.data_root)
+    if args.word_fts_path:
+        params['word_fts_path'] = args.word_fts_path
     anno = args.annotation or params['train_data']
     feat = args.featpath or params['train_featpath']
     ds = SentenceGroundingDataset(anno, feat, params,
                                   dataset_name=params['train'])
-    if ds._mode not in ('pair', 'triple', '1to1'):
-        raise SystemExit(f'sampler mode {ds._mode!r} is per-query; only '
-                         'deterministic pooled modes can be packed')
+    if ds._mode == 'lg':
+        raise SystemExit("sampler mode 'lg' crops randomly per sample and "
+                         "cannot be packed; all other modes pool "
+                         "deterministically per video")
     write_pack(args.out, ds, args.dtype)
 
 

@@ -121,7 +121,8 @@ class MultiQueryGrounder:
                                 replicated_sharding(self.mesh))
         self._resident_bank = self._precompute(self.model_params, videos)
 
-    def set_corpus(self, pack, chunk_videos: int = 64) -> None:
+    def set_corpus(self, pack, chunk_videos: int = 64,
+                   shard: bool = False) -> None:
         """Pin an ENTIRE feature pack's worth of videos for serving.
 
         Streams the pack through the query-independent block-0 recurrence
@@ -132,17 +133,31 @@ class MultiQueryGrounder:
         zero per-video recurrence work — the serving path is pure
         query-dependent compute plus a bank gather. Video lookup by id
         via :meth:`ground_vids`.
+
+        ``shard=True`` splits the bank's video axis across the mesh's
+        devices instead of replicating it — for corpora larger than one
+        chip's HBM. The per-query row gather then crosses ICI (XLA
+        inserts the collective from the sharding annotations); queries
+        stay sharded on the data axis as usual. V is zero-padded up to a
+        multiple of the device count.
         """
         import functools
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from .parallel.mesh import DATA_AXIS
 
         V = pack.num_videos
         sharding = replicated_sharding(self.mesh)
+        ndev = self.mesh.devices.size
+        V_pad = -(-V // ndev) * ndev if shard else V
+        bank_sharding = NamedSharding(self.mesh, P(DATA_AXIS)) if shard \
+            else sharding
         first = jax.device_put(
             jnp.asarray(pack.gather(np.arange(min(chunk_videos, V))),
                         jnp.float32), sharding)
         rnn0 = self._precompute(self.model_params, first)
-        bank = jax.jit(lambda: jnp.zeros((V,) + rnn0.shape[1:], rnn0.dtype),
-                       out_shardings=sharding)()
+        bank = jax.jit(lambda: jnp.zeros((V_pad,) + rnn0.shape[1:],
+                                         rnn0.dtype),
+                       out_shardings=bank_sharding)()
 
         @functools.partial(jax.jit, donate_argnums=(0,))
         def write(b, chunk, at):

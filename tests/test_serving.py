@@ -211,3 +211,47 @@ def test_ground_tokens_equals_ground_bank(model_and_params, rng):
     p_feat, s_feat = g.ground_bank(emb[token_ids], ids)
     np.testing.assert_allclose(p_tok, p_feat, atol=1e-5)
     np.testing.assert_allclose(s_tok, s_feat, rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_corpus_bank_equals_replicated(model_and_params, rng,
+                                               tmp_path):
+    """set_corpus(shard=True): the bank's video axis shards across the
+    8-device mesh (zero-padded to a device multiple); grounding results
+    equal the replicated-bank corpus path."""
+    import json
+    import struct
+
+    model, params = model_and_params
+    V = 10  # pads to 16 across 8 devices
+    feats = rng.randn(V, T, DV).astype(np.float16)
+    pack_dir = tmp_path / 'packs'
+    pack_dir.mkdir()
+    with open(pack_dir / 'pack.bin', 'wb') as f:
+        f.write(struct.pack('<8sIIIIQ', b'FEATPAK1', V, T, DV, 1, 0))
+        f.write(feats.tobytes())
+    json.dump({'vids': {f'v{i}': i for i in range(V)},
+               'nfeats': [T] * V, 't': T, 'd': DV, 'dtype': 'f16',
+               'mode': 'raw'}, open(pack_dir / 'index.json', 'w'))
+    from shufflingvideosfortsg_tpu.data.featpack import PackedFeatureSource
+    pack = PackedFeatureSource(str(pack_dir), use_native=False)
+
+    cfg = dict(sent_rnn_hiddendim=8, sent_rnn_layers=1,
+               video_encoder='query_aware_encoder', video_rnn_hiddendim=8,
+               video_rnn_layers=1, crossmodal='vs', predictor='mlp',
+               mlp_hidden_dim=8, span_hidden_dim=8, mask=False, dropout=0.0,
+               m_temp='none', m_pred_hidden=16, m_pred_activ='relu',
+               precision='f32', mesh_shape=[8])
+    queries = rng.randn(16, N, 300).astype(np.float32)
+    ids = (np.arange(16) % V).astype(np.int32)
+
+    g_rep = MultiQueryGrounder(cfg, params, query_batch=8)
+    g_rep.set_corpus(pack, chunk_videos=4)
+    p_rep, s_rep = g_rep.ground_bank(queries, ids)
+
+    g_sh = MultiQueryGrounder(cfg, params, query_batch=8)
+    g_sh.set_corpus(pack, chunk_videos=4, shard=True)
+    assert g_sh._resident_bank.shape[0] == 16  # padded to device multiple
+    p_sh, s_sh = g_sh.ground_bank(queries, ids)
+
+    np.testing.assert_allclose(p_sh, p_rep, atol=1e-5)
+    np.testing.assert_allclose(s_sh, s_rep, rtol=1e-4, atol=1e-6)

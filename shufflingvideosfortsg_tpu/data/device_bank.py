@@ -169,7 +169,10 @@ def maybe_device_bank(params: Dict[str, Any], dataset, mesh,
                            'device_bank_max_gb=%.1f', nbytes / 2 ** 30,
                            params.get('device_bank_max_gb', 8.0))
         return None
-    cache_key = (pack.bin_path, id(mesh))
+    # key by device identity, not id(mesh): a GC'd mesh's id can be
+    # reused by a new object, which would alias distinct meshes
+    cache_key = (pack.bin_path,
+                 tuple(d.id for d in mesh.devices.flat))
     bank = _BANK_CACHE.get(cache_key)
     if bank is None:
         bank = DeviceFeatureBank(pack, dataset.vocab, mesh)

@@ -15,7 +15,6 @@ virtual devices.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, Optional, Sequence
 
 import jax

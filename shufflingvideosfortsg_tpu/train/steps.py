@@ -12,7 +12,6 @@ per-batch `.cpu()` sync for statistics (train.py:175-184) has no analog.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, Tuple
 
 import jax

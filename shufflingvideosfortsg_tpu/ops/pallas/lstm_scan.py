@@ -131,6 +131,153 @@ def _lstm_kernel(xw_hbm, w_hh_ref, out_hbm, hc_out_ref,
     hc_out_ref[1] = c_ref[:]
 
 
+def _lstm_kernel_flat(xw_hbm, w_hh_ref, out_hbm, hc_out_ref,
+                      h_ref, c_ref, xwf_buf, xwb_buf, outf_buf, outb_buf,
+                      inf_sem, inb_sem, outf_sem, outb_sem, T: int):
+    """Flat-layout variant: consumes the SINGLE fused input-projection
+    matmul's output directly, so the XLA side never materializes the
+    [T, 2, B, 4H] stacked/reversed tensor (the batched two-direction
+    matmul runs at ~117 TF/s on v5e vs ~168 TF/s for one fused N=8H dot;
+    the saved relayout is the rest of the win).
+
+    xw_hbm:  [T, B, 8H] (ANY/HBM)  row t = [fwd proj(t) | bwd proj(t)],
+             bwd NOT time-reversed — this kernel reads it backwards
+    out_hbm: [T, B, 2H] (ANY/HBM)  row t = [h_fwd(t) | h_bwd(t)]
+    hc_out_ref: [2, 2, B, H] (VMEM) final (h, c), dirs [fwd, bwd]
+    scratch: h/c [2, B, H] f32; xwf/xwb [NBUF, B, 4H]; outf/outb
+    [2, B, H] double-buffered staging; DMA semaphore arrays.
+    """
+    H = h_ref.shape[-1]
+    H4 = 4 * H
+
+    def f_dma(slot, t):
+        return pltpu.make_async_copy(xw_hbm.at[t, :, :H4],
+                                     xwf_buf.at[slot], inf_sem.at[slot])
+
+    def b_dma(slot, k):
+        # bwd step k consumes original time T-1-k
+        return pltpu.make_async_copy(xw_hbm.at[T - 1 - k, :, H4:],
+                                     xwb_buf.at[slot], inb_sem.at[slot])
+
+    def outf_dma(slot, t):
+        return pltpu.make_async_copy(outf_buf.at[slot],
+                                     out_hbm.at[t, :, :H],
+                                     outf_sem.at[slot])
+
+    def outb_dma(slot, k):
+        return pltpu.make_async_copy(outb_buf.at[slot],
+                                     out_hbm.at[T - 1 - k, :, H:],
+                                     outb_sem.at[slot])
+
+    h_ref[:] = jnp.zeros_like(h_ref)
+    c_ref[:] = jnp.zeros_like(c_ref)
+    for k in range(min(NBUF - 1, T)):
+        f_dma(k, k).start()
+        b_dma(k, k).start()
+
+    def step(t, _):
+        slot = jax.lax.rem(t, NBUF)
+
+        @pl.when(t + NBUF - 1 < T)
+        def _():
+            nslot = jax.lax.rem(t + NBUF - 1, NBUF)
+            f_dma(nslot, t + NBUF - 1).start()
+            b_dma(nslot, t + NBUF - 1).start()
+
+        f_dma(slot, t).wait()
+        b_dma(slot, t).wait()
+
+        oslot = jax.lax.rem(t, 2)
+
+        @pl.when(t >= 2)
+        def _():
+            outf_dma(oslot, t - 2).wait()
+            outb_dma(oslot, t - 2).wait()
+
+        # both directions in one batched MXU contraction
+        gates = jax.lax.dot_general(
+            h_ref[:].astype(w_hh_ref.dtype), w_hh_ref[:],
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        xw2 = jnp.concatenate([xwf_buf[slot][None], xwb_buf[slot][None]],
+                              axis=0)
+        gates = gates + xw2.astype(jnp.float32)
+        i = jax.nn.sigmoid(gates[..., :H])
+        f = jax.nn.sigmoid(gates[..., H:2 * H])
+        g = jnp.tanh(gates[..., 2 * H:3 * H])
+        o = jax.nn.sigmoid(gates[..., 3 * H:])
+        c_new = f * c_ref[:] + i * g
+        h_new = o * jnp.tanh(c_new)
+        h_ref[:] = h_new
+        c_ref[:] = c_new
+        outf_buf[oslot] = h_new[0].astype(outf_buf.dtype)
+        outb_buf[oslot] = h_new[1].astype(outb_buf.dtype)
+        outf_dma(oslot, t).start()
+        outb_dma(oslot, t).start()
+        return 0
+
+    jax.lax.fori_loop(0, T, step, 0)
+    if T >= 2:
+        outf_dma(jax.lax.rem(T - 2, 2), T - 2).wait()
+        outb_dma(jax.lax.rem(T - 2, 2), T - 2).wait()
+    outf_dma(jax.lax.rem(T - 1, 2), T - 1).wait()
+    outb_dma(jax.lax.rem(T - 1, 2), T - 1).wait()
+    hc_out_ref[0] = h_ref[:]
+    hc_out_ref[1] = c_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=('interpret',))
+def lstm_scan_pallas_flat(xw_flat: jnp.ndarray, w_hh: jnp.ndarray,
+                          interpret: bool = False
+                          ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Run the fused recurrence on flat-layout projections.
+
+    xw_flat: [T, B, 8H] — row t holds [fwd proj(t) + b_fwd | bwd proj(t)
+    + b_bwd] from ONE [B*T, D] @ [D, 8H] matmul (no stacked/reversed
+    operand); w_hh: [2, H, 4H]. Returns (out [T, B, 2H] with row t =
+    [h_fwd(t) | h_bwd(t)], h_T [2, B, H] f32, c_T [2, B, H] f32) — the
+    bwd halves are in natural time order (no reversal needed outside).
+    """
+    T, B, H8 = xw_flat.shape
+    H = H8 // 8
+    out, hc = pl.pallas_call(
+        functools.partial(_lstm_kernel_flat, T=T),
+        out_shape=(
+            jax.ShapeDtypeStruct((T, B, 2 * H), xw_flat.dtype),
+            jax.ShapeDtypeStruct((2, 2, B, H), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),      # xw stays in HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w_hh resident
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, B, H), jnp.float32),            # h
+            pltpu.VMEM((2, B, H), jnp.float32),            # c
+            pltpu.VMEM((NBUF, B, 4 * H), xw_flat.dtype),   # fwd xw pipeline
+            pltpu.VMEM((NBUF, B, 4 * H), xw_flat.dtype),   # bwd xw pipeline
+            pltpu.VMEM((2, B, H), xw_flat.dtype),          # fwd out staging
+            pltpu.VMEM((2, B, H), xw_flat.dtype),          # bwd out staging
+            pltpu.SemaphoreType.DMA((NBUF,)),
+            pltpu.SemaphoreType.DMA((NBUF,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(100e6)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T * 2 * B * H * 4 * H,
+            bytes_accessed=(xw_flat.size + T * B * 2 * H) *
+            xw_flat.dtype.itemsize,
+            transcendentals=T * 2 * B * 4 * H),
+        interpret=interpret,
+    )(xw_flat, w_hh)
+    return out, hc[0], hc[1]
+
+
 def _lstm_kernel_train(xw_hbm, w_hh_ref, out_hbm, c_hbm, hc_out_ref,
                        h_ref, c_ref, xw_buf, out_buf, c_buf,
                        in_sem, out_sem, c_sem, T: int):

@@ -143,13 +143,6 @@ class BiLSTM(nn.Module):
             b_hh = self.param(f'b_hh_l{layer}', lstm_uniform_init(H), (2, 4 * H))
             b = b_ih + b_hh
 
-            # direction 0: natural order; direction 1: time-reversed input
-            both = jnp.stack([inputs, inputs[:, ::-1]], axis=0)  # [2, B, T, D]
-            xw = jnp.einsum('dbtf,dfg->dbtg', both, w_ih.astype(self.dtype),
-                            preferred_element_type=jnp.float32).astype(self.dtype)
-            xw = xw + b[:, None, None, :].astype(self.dtype)
-            xw = jnp.transpose(xw, (2, 0, 1, 3))  # [T, 2, B, 4H]
-
             mode = self.fused
             itemsize = jnp.dtype(self.dtype).itemsize
             if H % 128 != 0:
@@ -181,42 +174,68 @@ class BiLSTM(nn.Module):
                 if _eval_kernel_vmem_bytes(kernel_B, H, itemsize) \
                         > _EVAL_VMEM_BUDGET:
                     mode = False  # even one 8-row chunk won't fit
-            if mode and B8 != B:
-                xw = jnp.pad(xw, ((0, 0), (0, 0), (0, B8 - B), (0, 0)))
-            if mode == 'train':
-                from .pallas.lstm_scan import lstm_scan_fused
-                out, h_f, c_f = lstm_scan_fused(xw, w_hh.astype(self.dtype))
-                out = out.astype(self.dtype)
-                h_f = h_f.astype(self.dtype)
-                c_f = c_f.astype(self.dtype)
-            elif mode in (True, 'eval'):
-                from .pallas.lstm_scan import lstm_scan_pallas
+
+            if mode in (True, 'eval'):
+                # flat-layout inference path: ONE fused [B*T, D] @ [D, 8H]
+                # matmul (no stacked/time-reversed operand — ~1.8x the
+                # batched two-direction form incl. relayout; docs/KERNELS.md)
+                # feeding the flat kernel, which reads the bwd half
+                # backwards itself and emits [T, B, 2H] in natural order.
+                from .pallas.lstm_scan import lstm_scan_pallas_flat
+                w_cat = jnp.concatenate(
+                    [w_ih[0], w_ih[1]], axis=-1).astype(self.dtype)
+                b_cat = jnp.concatenate([b[0], b[1]], axis=-1)
+                xw = jnp.einsum('btf,fg->tbg', inputs, w_cat,
+                                preferred_element_type=jnp.float32
+                                ).astype(self.dtype)
+                xw = xw + b_cat.astype(self.dtype)
+                if B8 != B:
+                    xw = jnp.pad(xw, ((0, 0), (0, B8 - B), (0, 0)))
                 w_c = w_hh.astype(self.dtype)
                 if kernel_B == B8:
-                    out, h_f, c_f = lstm_scan_pallas(xw, w_c)
+                    out, h_f, c_f = lstm_scan_pallas_flat(xw, w_c)
                 else:
-                    parts = [lstm_scan_pallas(
-                        xw[:, :, b0:b0 + kernel_B], w_c)
+                    parts = [lstm_scan_pallas_flat(
+                        xw[:, b0:b0 + kernel_B], w_c)
                         for b0 in range(0, B8, kernel_B)]
-                    out = jnp.concatenate([p[0] for p in parts], axis=2)
+                    out = jnp.concatenate([p[0] for p in parts], axis=1)
                     h_f = jnp.concatenate([p[1] for p in parts], axis=1)
                     c_f = jnp.concatenate([p[2] for p in parts], axis=1)
                 out = out.astype(self.dtype)
-                h_f = h_f.astype(self.dtype)
-                c_f = c_f.astype(self.dtype)
-            if mode and B8 != B:
-                out = out[:, :, :B]
-                h_f = h_f[:, :B]
-                c_f = c_f[:, :B]
-            if not mode:
-                h0 = jnp.zeros((2, B, H), self.dtype)
-                c0 = jnp.zeros((2, B, H), self.dtype)
-                out, (h_f, c_f) = _lstm_scan(xw, w_hh.astype(self.dtype),
-                                             h0, c0, unroll=self.unroll)
-            # out: [T, 2, B, H] -> fwd [B, T, H], bwd un-reversed [B, T, H]
-            fwd = jnp.transpose(out[:, 0], (1, 0, 2))
-            bwd = jnp.transpose(out[:, 1], (1, 0, 2))[:, ::-1]
-            layer_out = jnp.concatenate([fwd, bwd], axis=-1)  # [B, T, 2H]
+                h_f = h_f.astype(self.dtype)[:, :B]
+                c_f = c_f.astype(self.dtype)[:, :B]
+                # [T, B, 2H] -> [B, T, 2H]; both halves already in natural
+                # time order — no reverse, no per-direction concat
+                layer_out = jnp.transpose(out, (1, 0, 2))[:B]
+            else:
+                # direction 0: natural order; direction 1: reversed input
+                both = jnp.stack([inputs, inputs[:, ::-1]], axis=0)
+                xw = jnp.einsum('dbtf,dfg->dbtg', both,
+                                w_ih.astype(self.dtype),
+                                preferred_element_type=jnp.float32
+                                ).astype(self.dtype)
+                xw = xw + b[:, None, None, :].astype(self.dtype)
+                xw = jnp.transpose(xw, (2, 0, 1, 3))  # [T, 2, B, 4H]
+                if mode == 'train':
+                    from .pallas.lstm_scan import lstm_scan_fused
+                    if B8 != B:
+                        xw = jnp.pad(xw,
+                                     ((0, 0), (0, 0), (0, B8 - B), (0, 0)))
+                    out, h_f, c_f = lstm_scan_fused(
+                        xw, w_hh.astype(self.dtype))
+                    out = out.astype(self.dtype)[:, :, :B]
+                    h_f = h_f.astype(self.dtype)[:, :B]
+                    c_f = c_f.astype(self.dtype)[:, :B]
+                else:
+                    h0 = jnp.zeros((2, B, H), self.dtype)
+                    c0 = jnp.zeros((2, B, H), self.dtype)
+                    out, (h_f, c_f) = _lstm_scan(
+                        xw, w_hh.astype(self.dtype), h0, c0,
+                        unroll=self.unroll)
+                # [T, 2, B, H] -> fwd [B, T, H], bwd un-reversed [B, T, H]
+                fwd = jnp.transpose(out[:, 0], (1, 0, 2))
+                bwd = jnp.transpose(out[:, 1], (1, 0, 2))[:, ::-1]
+                layer_out = jnp.concatenate([fwd, bwd], axis=-1)
 
             hn_list += [h_f[0], h_f[1]]
             cn_list += [c_f[0], c_f[1]]

@@ -214,3 +214,29 @@ def test_chunked_eval_kernel_path(rng, monkeypatch):
     np.testing.assert_allclose(np.asarray(o0), np.asarray(o1), atol=1e-5)
     np.testing.assert_allclose(np.asarray(h0), np.asarray(h1), atol=1e-5)
     np.testing.assert_allclose(np.asarray(c0), np.asarray(c1), atol=1e-5)
+
+
+@pytest.mark.parametrize("T,B,H", [(12, 4, 8), (7, 2, 8), (16, 8, 16),
+                                   (33, 3, 8)])
+def test_flat_kernel_matches_scan(rng, T, B, H):
+    """lstm_scan_pallas_flat: consumes un-reversed [T, B, 8H] projections,
+    reads the bwd half backwards itself, emits [T, B, 2H] in natural time
+    order; must equal the scan oracle on the reference layout."""
+    from shufflingvideosfortsg_tpu.ops.pallas.lstm_scan import (
+        lstm_scan_pallas_flat)
+
+    fwd = rng.randn(T, B, 4 * H).astype(np.float32)
+    bwd = rng.randn(T, B, 4 * H).astype(np.float32)
+    w_hh = jnp.asarray((rng.randn(2, H, 4 * H) * 0.1).astype(np.float32))
+
+    xw_flat = jnp.asarray(np.concatenate([fwd, bwd], axis=-1))
+    out, hT, cT = lstm_scan_pallas_flat(xw_flat, w_hh, interpret=True)
+
+    xw_ref = jnp.asarray(np.stack([fwd, bwd[::-1]], axis=1))
+    want_out, want_h, want_c = scan_oracle(xw_ref, w_hh, H)
+    np.testing.assert_allclose(np.asarray(out)[:, :, :H],
+                               np.asarray(want_out)[:, 0], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out)[:, :, H:],
+                               np.asarray(want_out)[::-1, 1], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(hT), np.asarray(want_h), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(cT), np.asarray(want_c), atol=1e-6)

@@ -19,6 +19,7 @@ grounding/ckp/*/test.log + train.log).
 
 import argparse
 import json
+import os
 import time
 
 import numpy as np
@@ -210,6 +211,10 @@ def bench_serve_corpus(args):
         'value': round(qps, 1),
         'unit': 'queries/s',
         'vs_baseline': round(qps / BASELINE_SENT_PER_S, 2),
+        'note': 'vs_baseline divides by the reference eval rate (676 '
+                'sent/s) — the rate at which its driver could answer '
+                'mixed (query, video) traffic by re-encoding each video; '
+                'the reference has no serving path of its own',
     }), flush=True)
 
 
@@ -277,8 +282,11 @@ def main():
     ap.add_argument('--pack', default='/tmp/soak/charades_pack_f16',
                     help='featpack dir for --mode serve-corpus '
                          '(built if absent)')
-    ap.add_argument('--anno-root', default='/root/reference/data',
-                    help='annotation root for building the corpus pack')
+    ap.add_argument('--anno-root',
+                    default=os.environ.get('SVTSG_DATA_ROOT',
+                                           '/root/reference/data'),
+                    help='annotation root for building the corpus pack '
+                         '(default: $SVTSG_DATA_ROOT)')
     ap.add_argument('--batch', type=int, default=512)
     ap.add_argument('--train-batch', type=int, default=64,
                     help='batch for --mode train/all training measurement')

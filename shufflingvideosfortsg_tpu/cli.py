@@ -238,9 +238,19 @@ def _banked_eval_epoch(step, model_params, host_batches, bank, mesh,
 
     # the jitted epoch closure is cached on the step object: a fresh
     # closure per call would RETRACE (and remote-recompile) the whole
-    # scan on every validation epoch of a training run
-    attr = '_epoch_scan' if keys is None else '_epoch_scan_keys'
-    epoch = getattr(step, attr, None)
+    # scan on every validation epoch of a training run. The cache key
+    # includes batch count + shapes so a second loader with a different
+    # epoch geometry on the same step gets its own entry instead of a
+    # silent retrace of the shared one.
+    shape_key = tuple(sorted((k, v.shape, str(v.dtype))
+                             for k, v in arrays.items()))
+    attr = ('_epoch_scan' if keys is None else '_epoch_scan_keys',
+            shape_key)
+    cache = getattr(step, '_epoch_scan_cache', None)
+    if cache is None:
+        cache = {}
+        step._epoch_scan_cache = cache
+    epoch = cache.get(attr)
     if epoch is None:
         if keys is None:
             @jax.jit
@@ -261,7 +271,7 @@ def _banked_eval_epoch(step, model_params, host_batches, bank, mesh,
                     b['bank_emb'] = emb
                     return None, inner(p, b, kk)
                 return jax.lax.scan(body, None, (batches, ks))[1]
-        setattr(step, attr, epoch)
+        cache[attr] = epoch
     if keys is None:
         outs = epoch(model_params, dev, bank.feats, bank.embeddings)
     else:
@@ -362,8 +372,16 @@ def _eval_epoch(step, model_params, loader, bank, mesh, key=None):
     """
     if bank is not None and jax.process_count() == 1:
         host_batches = list(loader)
-        keys = None if key is None else jax.random.split(key,
-                                                         len(host_batches))
+        keys = None
+        if key is not None:
+            # iterate the SAME split chain as the per-batch path (key, sk =
+            # split(key) per batch) so banked and host-mode validation
+            # pseudo draws are bit-identical
+            sks = []
+            for _ in host_batches:
+                key, sk = jax.random.split(key)
+                sks.append(sk)
+            keys = jax.numpy.stack(sks)
         return host_batches, _banked_eval_epoch(step, model_params,
                                                 host_batches, bank, mesh,
                                                 keys=keys)
@@ -455,7 +473,10 @@ def main_train(params: Dict[str, Any]) -> Dict[str, Any]:
                 metric_weights.append(len(pending))
                 do_log = log_iv != -1 and (idx // max(log_iv, 1)) != \
                     ((idx + len(pending)) // max(log_iv, 1))
-                do_check = (idx // check_iv) != \
+                # idx == 0 matches the per-step path's idx % check_iv == 0
+                # first-step check, so a NaN at step 0 is caught on the
+                # first flush, not check_iv batches later
+                do_check = idx == 0 or (idx // check_iv) != \
                     ((idx + len(pending)) // check_iv)
                 if do_log or do_check:
                     mh = jax.device_get(m)

@@ -126,10 +126,10 @@ class DeviceFeatureBank:
                        offset=HEADER_SIZE,
                        shape=(pack.num_videos, pack.T, pack.D))
         self.feats = _upload_replicated(mm, sharding, chunk_bytes)
-        self.embeddings = _upload_replicated(
-            np.asarray(vocab.embeddings, np.float32), sharding, chunk_bytes)
+        emb = np.asarray(vocab.embeddings, np.float32)
+        self.embeddings = _upload_replicated(emb, sharding, chunk_bytes)
         self.T = pack.T
-        self.nbytes = int(mm.nbytes)
+        self.nbytes = int(mm.nbytes) + int(emb.nbytes)
 
     def attach(self, device_batch: Dict[str, Any]) -> Dict[str, Any]:
         """Add the resident arrays to a device batch so they enter the
@@ -153,6 +153,10 @@ def maybe_device_bank(params: Dict[str, Any], dataset, mesh,
     - host-side augmentation needs the features on host (`if_aug`),
     - the pack exceeds the HBM budget (`device_bank_max_gb`),
     - or `device_bank` is disabled in config.
+
+    The budget is CUMULATIVE over every bank already resident (the cache
+    never evicts): two distinct 6.5 GiB packs each under an 8 GiB budget
+    would otherwise both pass individually and jointly OOM the chip.
     """
     if not params.get('device_bank', True):
         return None
@@ -163,10 +167,14 @@ def maybe_device_bank(params: Dict[str, Any], dataset, mesh,
         return None  # host aug_data mutates features before masking
     max_bytes = float(params.get('device_bank_max_gb', 8.0)) * 2 ** 30
     nbytes = pack.num_videos * pack.T * pack.D * pack.raw_dtype.itemsize
-    if nbytes > max_bytes:
+    resident = sum(b.nbytes for k, b in _BANK_CACHE.items()
+                   if k[0] != pack.bin_path)
+    if nbytes + resident > max_bytes:
         if logger is not None:
-            logger.warning('device bank disabled: pack is %.2f GiB > '
+            logger.warning('device bank disabled: pack is %.2f GiB and '
+                           '%.2f GiB of banks are already resident > '
                            'device_bank_max_gb=%.1f', nbytes / 2 ** 30,
+                           resident / 2 ** 30,
                            params.get('device_bank_max_gb', 8.0))
         return None
     # key by device identity, not id(mesh): a GC'd mesh's id can be

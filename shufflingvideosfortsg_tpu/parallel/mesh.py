@@ -15,6 +15,7 @@ virtual devices.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Dict, Optional, Sequence
 
 import jax
@@ -90,6 +91,23 @@ def replicate_tree(mesh: Mesh, tree):
     return jax.device_put(tree, replicated_sharding(mesh))
 
 
+@functools.partial(jax.jit, static_argnames='n')
+def _acc_init(out, n: int):
+    return jax.tree.map(
+        lambda o: jnp.zeros((n,) + o.shape, o.dtype), out)
+
+
+# NOTE: no donate_argnums — buffer donation through the remote-TPU
+# relay serializes every call (measured: a donated 100-call chain
+# blew a 580s timeout; undonated runs in milliseconds). The copy is
+# a few hundred KB here, donation buys nothing.
+@jax.jit
+def _acc_append(bufs, out, i):
+    return jax.tree.map(
+        lambda b, o: jax.lax.dynamic_update_index_in_dim(
+            b, o.astype(b.dtype), i, 0), bufs, out)
+
+
 class OutputAccumulator:
     """Accumulate per-batch step outputs on device; fetch once at the end.
 
@@ -99,8 +117,10 @@ class OutputAccumulator:
     no better on a cold cache: a 106-operand concatenate costs ~15 s/key of
     (remote) compile. This accumulator writes each batch's outputs into
     preallocated [n_batches, ...] device buffers with a single jitted
-    donated dynamic-slice update — fixed shapes, one compile, one tiny
-    dispatch per batch — and fetches each key once at the end.
+    dynamic-slice update — fixed shapes, one compile, one tiny dispatch
+    per batch — and fetches each key once at the end. The jitted init/
+    append live at module level so fresh accumulator instances (one per
+    eval epoch) share one compile instead of retracing per instance.
 
     Multi-host: per-batch host_local_rows is required to untangle the
     sharded row axis, so ``append`` fetches eagerly there.
@@ -113,24 +133,6 @@ class OutputAccumulator:
         self._multihost = jax.process_count() > 1
         self._host = None
 
-        @jax.jit
-        def _init(out):
-            return jax.tree.map(
-                lambda o: jnp.zeros((n_batches,) + o.shape, o.dtype), out)
-
-        # NOTE: no donate_argnums — buffer donation through the remote-TPU
-        # relay serializes every call (measured: a donated 100-call chain
-        # blew a 580s timeout; undonated runs in milliseconds). The copy is
-        # a few hundred KB here, donation buys nothing.
-        @jax.jit
-        def _append(bufs, out, i):
-            return jax.tree.map(
-                lambda b, o: jax.lax.dynamic_update_index_in_dim(
-                    b, o.astype(b.dtype), i, 0), bufs, out)
-
-        self._init = _init
-        self._append = _append
-
     def append(self, out: Dict[str, Any]) -> None:
         assert self.i < self.n
         if self._multihost:
@@ -140,8 +142,8 @@ class OutputAccumulator:
             self.i += 1
             return
         if self.bufs is None:
-            self.bufs = self._init(out)
-        self.bufs = self._append(self.bufs, out, self.i)
+            self.bufs = _acc_init(out, self.n)
+        self.bufs = _acc_append(self.bufs, out, self.i)
         self.i += 1
 
     def fetch(self) -> Dict[str, np.ndarray]:

@@ -144,6 +144,38 @@ def test_maybe_device_bank_gating(pack_dir):
     assert maybe_device_bank(params, ds5, mesh) is None
 
 
+def test_bank_budget_is_cumulative(pack_dir, tmp_path, monkeypatch):
+    """The HBM budget counts banks already resident: a second, distinct
+    pack that fits the budget alone but not alongside the first is
+    refused (the cache never evicts, so admitting both would OOM)."""
+    from shufflingvideosfortsg_tpu.data import device_bank as db
+
+    second = str(tmp_path / "pack2")
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools/make_synth_pack.py"),
+         "--annotations", ANNO, "--out", second, "--t", str(T),
+         "--d", str(D), "--dtype", "f16", "--seed", "1"],
+        check=True, capture_output=True)
+
+    monkeypatch.setattr(db, "_BANK_CACHE", {})
+    mesh = create_mesh([1])
+    params = _params(pack_dir)
+    ds1 = _dataset(params)
+    pack_bytes = ds1.pack.num_videos * T * D * 2
+    # budget fits ~1.5 packs: the first is admitted, the second refused
+    budget_gb = 1.5 * pack_bytes / 2 ** 30
+    params = _params(pack_dir, device_bank_max_gb=budget_gb)
+    assert maybe_device_bank(params, ds1, mesh) is not None
+
+    params2 = _params(second, device_bank_max_gb=budget_gb)
+    ds2 = _dataset(params2)
+    assert maybe_device_bank(params2, ds2, mesh) is None
+
+    # re-requesting the FIRST pack still hits the cache (not refused by
+    # its own residency)
+    assert maybe_device_bank(params, ds1, mesh) is not None
+
+
 def test_chunked_upload_reconstructs_exactly():
     """_upload_replicated with a small chunk size (forcing the donated
     dynamic_update_slice path) reproduces the host array bit-for-bit."""

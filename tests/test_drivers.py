@@ -192,6 +192,47 @@ def test_banked_eval_equals_per_batch_eval(pack_env):
             np.testing.assert_allclose(a["score"], b["score"], rtol=1e-4)
 
 
+def test_epoch_scan_cache_keyed_by_shapes(pack_env):
+    """Two loaders with different batch counts/shapes on the SAME step get
+    distinct cached epoch-scan closures (keyed by geometry), and both
+    produce outputs sized to their own loader — no silent retrace of a
+    shared entry."""
+    import jax
+    from shufflingvideosfortsg_tpu.data.device_bank import maybe_device_bank
+    from shufflingvideosfortsg_tpu.data.pipeline import (
+        BatchLoader, SentenceGroundingDataset)
+    from shufflingvideosfortsg_tpu.models import build_model
+    from shufflingvideosfortsg_tpu.parallel.mesh import create_mesh
+    from shufflingvideosfortsg_tpu.train.steps import make_gmd_test_step
+
+    make_params = pack_env
+    params, _ = make_params("drv_scan_cache")
+    mesh = create_mesh([1])
+    model = build_model(params, 'gmd', inference=True)
+    ds = SentenceGroundingDataset(params["test_data"],
+                                  params["test_featpath"], params,
+                                  dataset_name="charades")
+    ds.samples = ds.samples[:24]
+    bank = maybe_device_bank(params, ds, mesh)
+    assert bank is not None
+    step = make_gmd_test_step(model, False, assembler=bank.assemble)
+    model_params = cli.init_model_params(
+        model, params, jax.random.PRNGKey(0), 'gmd')
+
+    batches_a = list(BatchLoader(ds, 8, shuffle=False, prefetch=0,
+                                 device_assemble=True))   # 3 batches of 8
+    batches_b = list(BatchLoader(ds, 12, shuffle=False, prefetch=0,
+                                 device_assemble=True))   # 2 batches of 12
+    out_a = cli._banked_eval_epoch(step, model_params, batches_a, bank, mesh)
+    out_b = cli._banked_eval_epoch(step, model_params, batches_b, bank, mesh)
+    assert out_a['loss'].shape[0] == 3
+    assert out_b['loss'].shape[0] == 2
+    assert len(step._epoch_scan_cache) == 2
+    # same geometry again: cache hit, no third entry
+    cli._banked_eval_epoch(step, model_params, batches_a, bank, mesh)
+    assert len(step._epoch_scan_cache) == 2
+
+
 def test_auto_resume_continues_at_next_epoch(tiny_env):
     """--start_from auto: a restarted run reuses its run dir, loads the
     newest checkpoint, and continues at the following epoch — crash

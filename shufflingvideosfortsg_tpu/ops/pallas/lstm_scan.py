@@ -596,6 +596,385 @@ def lstm_scan_pallas_bwd(xw, w_hh, out_h, c_seq, d_out, d_hT, d_cT,
     return dxw, dw
 
 
+def _lstm_kernel_train_flat(xw_hbm, w_hh_ref, out_hbm, c_hbm, hc_out_ref,
+                            h_ref, c_ref, xwf_buf, xwb_buf,
+                            outf_buf, outb_buf, c_stage,
+                            inf_sem, inb_sem, outf_sem, outb_sem, c_sem,
+                            T: int):
+    """Flat-layout train forward: the flat eval kernel plus a per-step
+    cell-state residual stream for the backward kernel.
+
+    xw_hbm:  [T, B, 8H]  row t = [fwd proj(t) | bwd proj(t)], bwd NOT
+             time-reversed (read backwards here)
+    out_hbm: [T, B, 2H]  natural time order
+    c_hbm:   [T, 2, B, H] f32, indexed by STEP s (not original time):
+             c_hbm[s] = [c_fwd(t=s) | c_bwd(step s, orig time T-1-s)] —
+             the traversal order the backward kernel consumes.
+    """
+    H = h_ref.shape[-1]
+    H4 = 4 * H
+
+    def f_dma(slot, t):
+        return pltpu.make_async_copy(xw_hbm.at[t, :, :H4],
+                                     xwf_buf.at[slot], inf_sem.at[slot])
+
+    def b_dma(slot, k):
+        return pltpu.make_async_copy(xw_hbm.at[T - 1 - k, :, H4:],
+                                     xwb_buf.at[slot], inb_sem.at[slot])
+
+    def outf_dma(slot, t):
+        return pltpu.make_async_copy(outf_buf.at[slot],
+                                     out_hbm.at[t, :, :H],
+                                     outf_sem.at[slot])
+
+    def outb_dma(slot, k):
+        return pltpu.make_async_copy(outb_buf.at[slot],
+                                     out_hbm.at[T - 1 - k, :, H:],
+                                     outb_sem.at[slot])
+
+    def c_dma(slot, s):
+        return pltpu.make_async_copy(c_stage.at[slot], c_hbm.at[s],
+                                     c_sem.at[slot])
+
+    h_ref[:] = jnp.zeros_like(h_ref)
+    c_ref[:] = jnp.zeros_like(c_ref)
+    for k in range(min(NBUF - 1, T)):
+        f_dma(k, k).start()
+        b_dma(k, k).start()
+
+    def step(t, _):
+        slot = jax.lax.rem(t, NBUF)
+
+        @pl.when(t + NBUF - 1 < T)
+        def _():
+            nslot = jax.lax.rem(t + NBUF - 1, NBUF)
+            f_dma(nslot, t + NBUF - 1).start()
+            b_dma(nslot, t + NBUF - 1).start()
+
+        f_dma(slot, t).wait()
+        b_dma(slot, t).wait()
+
+        oslot = jax.lax.rem(t, 2)
+
+        @pl.when(t >= 2)
+        def _():
+            outf_dma(oslot, t - 2).wait()
+            outb_dma(oslot, t - 2).wait()
+            c_dma(oslot, t - 2).wait()
+
+        gates = jax.lax.dot_general(
+            h_ref[:].astype(w_hh_ref.dtype), w_hh_ref[:],
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        xw2 = jnp.concatenate([xwf_buf[slot][None], xwb_buf[slot][None]],
+                              axis=0)
+        gates = gates + xw2.astype(jnp.float32)
+        i = jax.nn.sigmoid(gates[..., :H])
+        f = jax.nn.sigmoid(gates[..., H:2 * H])
+        g = jnp.tanh(gates[..., 2 * H:3 * H])
+        o = jax.nn.sigmoid(gates[..., 3 * H:])
+        c_new = f * c_ref[:] + i * g
+        h_new = o * jnp.tanh(c_new)
+        h_ref[:] = h_new
+        c_ref[:] = c_new
+        outf_buf[oslot] = h_new[0].astype(outf_buf.dtype)
+        outb_buf[oslot] = h_new[1].astype(outb_buf.dtype)
+        c_stage[oslot] = c_new
+        outf_dma(oslot, t).start()
+        outb_dma(oslot, t).start()
+        c_dma(oslot, t).start()
+        return 0
+
+    jax.lax.fori_loop(0, T, step, 0)
+    if T >= 2:
+        s2 = jax.lax.rem(T - 2, 2)
+        outf_dma(s2, T - 2).wait()
+        outb_dma(s2, T - 2).wait()
+        c_dma(s2, T - 2).wait()
+    s1 = jax.lax.rem(T - 1, 2)
+    outf_dma(s1, T - 1).wait()
+    outb_dma(s1, T - 1).wait()
+    c_dma(s1, T - 1).wait()
+    hc_out_ref[0] = h_ref[:]
+    hc_out_ref[1] = c_ref[:]
+
+
+def _lstm_bwd_kernel_flat(xw_hbm, w_hh_ref, out_hbm, c_hbm, dout_hbm,
+                          dhc_ref, dxw_hbm, dw_out_ref,
+                          dh_ref, dc_ref, dw_acc,
+                          xw_buf, h_buf, c_buf, cp_buf, dout_buf, dxw_buf,
+                          in_sems, dxw_sems, T: int):
+    """Flat-layout reverse backward. Iterates STEP index s = T-1..0; the
+    fwd lane walks original time backwards (t = s) while the bwd lane
+    walks it forwards (orig time T-1-s) — both lanes' recursions run in
+    their own reverse order inside ONE loop, so the flat halves at
+    different HBM rows stream through per-lane half-row DMAs. The gate
+    math is identical to the stacked backward (_lstm_bwd_kernel).
+
+    dxw_hbm: [T, B, 8H] f32, same flat layout as the forward input.
+    """
+    H = dh_ref.shape[-1]
+    H4 = 4 * H
+
+    def start_loads(slot, s):
+        pltpu.make_async_copy(xw_hbm.at[s, :, :H4], xw_buf.at[slot, 0],
+                              in_sems.at[0, slot]).start()
+        pltpu.make_async_copy(xw_hbm.at[T - 1 - s, :, H4:],
+                              xw_buf.at[slot, 1],
+                              in_sems.at[1, slot]).start()
+        pltpu.make_async_copy(dout_hbm.at[s, :, :H], dout_buf.at[slot, 0],
+                              in_sems.at[2, slot]).start()
+        pltpu.make_async_copy(dout_hbm.at[T - 1 - s, :, H:],
+                              dout_buf.at[slot, 1],
+                              in_sems.at[3, slot]).start()
+        pltpu.make_async_copy(c_hbm.at[s], c_buf.at[slot],
+                              in_sems.at[4, slot]).start()
+
+        @pl.when(s >= 1)
+        def _():
+            pltpu.make_async_copy(c_hbm.at[s - 1], cp_buf.at[slot],
+                                  in_sems.at[5, slot]).start()
+            pltpu.make_async_copy(out_hbm.at[s - 1, :, :H],
+                                  h_buf.at[slot, 0],
+                                  in_sems.at[6, slot]).start()
+            pltpu.make_async_copy(out_hbm.at[T - s, :, H:],
+                                  h_buf.at[slot, 1],
+                                  in_sems.at[7, slot]).start()
+
+    def wait_loads(slot, s):
+        pltpu.make_async_copy(xw_hbm.at[s, :, :H4], xw_buf.at[slot, 0],
+                              in_sems.at[0, slot]).wait()
+        pltpu.make_async_copy(xw_hbm.at[T - 1 - s, :, H4:],
+                              xw_buf.at[slot, 1],
+                              in_sems.at[1, slot]).wait()
+        pltpu.make_async_copy(dout_hbm.at[s, :, :H], dout_buf.at[slot, 0],
+                              in_sems.at[2, slot]).wait()
+        pltpu.make_async_copy(dout_hbm.at[T - 1 - s, :, H:],
+                              dout_buf.at[slot, 1],
+                              in_sems.at[3, slot]).wait()
+        pltpu.make_async_copy(c_hbm.at[s], c_buf.at[slot],
+                              in_sems.at[4, slot]).wait()
+
+        @pl.when(s >= 1)
+        def _():
+            pltpu.make_async_copy(c_hbm.at[s - 1], cp_buf.at[slot],
+                                  in_sems.at[5, slot]).wait()
+            pltpu.make_async_copy(out_hbm.at[s - 1, :, :H],
+                                  h_buf.at[slot, 0],
+                                  in_sems.at[6, slot]).wait()
+            pltpu.make_async_copy(out_hbm.at[T - s, :, H:],
+                                  h_buf.at[slot, 1],
+                                  in_sems.at[7, slot]).wait()
+
+    def dxwf_dma(slot, s):
+        return pltpu.make_async_copy(dxw_buf.at[slot, 0],
+                                     dxw_hbm.at[s, :, :H4],
+                                     dxw_sems.at[0, slot])
+
+    def dxwb_dma(slot, s):
+        return pltpu.make_async_copy(dxw_buf.at[slot, 1],
+                                     dxw_hbm.at[T - 1 - s, :, H4:],
+                                     dxw_sems.at[1, slot])
+
+    dh_ref[:] = dhc_ref[0]
+    dc_ref[:] = dhc_ref[1]
+    dw_acc[:] = jnp.zeros_like(dw_acc)
+    start_loads(jax.lax.rem(T - 1, 2), T - 1)
+
+    def step(m, _):
+        s = T - 1 - m
+        slot = jax.lax.rem(s, 2)
+
+        @pl.when(s - 1 >= 0)
+        def _():
+            start_loads(jax.lax.rem(s - 1, 2), s - 1)
+
+        wait_loads(slot, s)
+
+        is_first = (s == 0)
+        h_prev = jnp.where(is_first, 0.0,
+                           h_buf[slot].astype(jnp.float32))
+        c_prev = jnp.where(is_first, 0.0, cp_buf[slot])
+        c_t = c_buf[slot]
+
+        gates = jax.lax.dot_general(
+            h_prev.astype(w_hh_ref.dtype), w_hh_ref[:],
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        gates = gates + xw_buf[slot].astype(jnp.float32)
+        i = jax.nn.sigmoid(gates[..., :H])
+        f = jax.nn.sigmoid(gates[..., H:2 * H])
+        g = jnp.tanh(gates[..., 2 * H:3 * H])
+        o = jax.nn.sigmoid(gates[..., 3 * H:])
+
+        dh = dh_ref[:] + dout_buf[slot].astype(jnp.float32)
+        tc = jnp.tanh(c_t)
+        do = dh * tc
+        dc = dc_ref[:] + dh * o * (1.0 - tc * tc)
+        di = dc * g
+        dg = dc * i
+        df = dc * c_prev
+        dgates = jnp.concatenate([
+            di * i * (1.0 - i),
+            df * f * (1.0 - f),
+            dg * (1.0 - g * g),
+            do * o * (1.0 - o),
+        ], axis=-1)  # [2, B, 4H]
+
+        @pl.when(m >= 2)
+        def _():
+            dxwf_dma(slot, s + 2).wait()
+            dxwb_dma(slot, s + 2).wait()
+
+        dxw_buf[slot] = dgates
+        dxwf_dma(slot, s).start()
+        dxwb_dma(slot, s).start()
+
+        dgates_c = dgates.astype(w_hh_ref.dtype)
+        dh_prev = jax.lax.dot_general(
+            dgates_c, w_hh_ref[:],
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        dw_acc[:] = dw_acc[:] + jax.lax.dot_general(
+            h_prev.astype(w_hh_ref.dtype), dgates_c,
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        dh_ref[:] = dh_prev
+        dc_ref[:] = dc * f
+        return 0
+
+    jax.lax.fori_loop(0, T, step, 0)
+    if T >= 2:
+        dxwf_dma(jax.lax.rem(1, 2), 1).wait()
+        dxwb_dma(jax.lax.rem(1, 2), 1).wait()
+    dxwf_dma(0, 0).wait()
+    dxwb_dma(0, 0).wait()
+    dw_out_ref[:] = dw_acc[:]
+
+
+@functools.partial(jax.jit, static_argnames=('interpret',))
+def lstm_scan_pallas_train_flat(xw_flat, w_hh, interpret: bool = False):
+    """Flat-layout train forward. xw_flat: [T, B, 8H] (bwd half NOT
+    reversed). Returns (out [T, B, 2H] natural order, c_seq [T, 2, B, H]
+    f32 by step index, h_T [2, B, H] f32, c_T [2, B, H] f32)."""
+    T, B, H8 = xw_flat.shape
+    H = H8 // 8
+    out, c_seq, hc = pl.pallas_call(
+        functools.partial(_lstm_kernel_train_flat, T=T),
+        out_shape=(
+            jax.ShapeDtypeStruct((T, B, 2 * H), xw_flat.dtype),
+            jax.ShapeDtypeStruct((T, 2, B, H), jnp.float32),
+            jax.ShapeDtypeStruct((2, 2, B, H), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, B, H), jnp.float32),            # h
+            pltpu.VMEM((2, B, H), jnp.float32),            # c
+            pltpu.VMEM((NBUF, B, 4 * H), xw_flat.dtype),   # fwd xw pipeline
+            pltpu.VMEM((NBUF, B, 4 * H), xw_flat.dtype),   # bwd xw pipeline
+            pltpu.VMEM((2, B, H), xw_flat.dtype),          # fwd out staging
+            pltpu.VMEM((2, B, H), xw_flat.dtype),          # bwd out staging
+            pltpu.VMEM((2, 2, B, H), jnp.float32),         # c staging
+            pltpu.SemaphoreType.DMA((NBUF,)),
+            pltpu.SemaphoreType.DMA((NBUF,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(100e6)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T * 2 * B * H * 4 * H,
+            bytes_accessed=(xw_flat.size + 3 * T * B * 2 * H) *
+            xw_flat.dtype.itemsize,
+            transcendentals=T * 2 * B * 4 * H),
+        interpret=interpret,
+    )(xw_flat, w_hh)
+    return out, c_seq, hc[0], hc[1]
+
+
+@functools.partial(jax.jit, static_argnames=('interpret',))
+def lstm_scan_pallas_bwd_flat(xw_flat, w_hh, out_h, c_seq, d_out, d_hT,
+                              d_cT, interpret: bool = False):
+    """Flat-layout backward kernel. Returns (d_xw [T, B, 8H] f32,
+    d_w_hh [2, H, 4H] f32)."""
+    T, B, H8 = xw_flat.shape
+    H = H8 // 8
+    H4 = 4 * H
+    dhc = jnp.stack([d_hT.astype(jnp.float32), d_cT.astype(jnp.float32)], 0)
+    dxw, dw = pl.pallas_call(
+        functools.partial(_lstm_bwd_kernel_flat, T=T),
+        out_shape=(
+            jax.ShapeDtypeStruct((T, B, H8), jnp.float32),
+            jax.ShapeDtypeStruct((2, H, H4), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),      # xw_flat
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w_hh
+            pl.BlockSpec(memory_space=pl.ANY),      # out_h
+            pl.BlockSpec(memory_space=pl.ANY),      # c_seq
+            pl.BlockSpec(memory_space=pl.ANY),      # d_out
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # dhc
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),      # dxw
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # dw
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, B, H), jnp.float32),        # dh carry
+            pltpu.VMEM((2, B, H), jnp.float32),        # dc carry
+            pltpu.VMEM((2, H, H4), jnp.float32),       # dW accumulator
+            pltpu.VMEM((2, 2, B, H4), xw_flat.dtype),  # xw slots
+            pltpu.VMEM((2, 2, B, H), out_h.dtype),     # h[prev] slots
+            pltpu.VMEM((2, 2, B, H), jnp.float32),     # c[s] slots
+            pltpu.VMEM((2, 2, B, H), jnp.float32),     # c[s-1] slots
+            pltpu.VMEM((2, 2, B, H), d_out.dtype),     # dout slots
+            pltpu.VMEM((2, 2, B, H4), jnp.float32),    # dxw staging
+            pltpu.SemaphoreType.DMA((8, 2)),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=int(110e6)),
+        interpret=interpret,
+    )(xw_flat, w_hh, out_h, c_seq, d_out, dhc)
+    return dxw, dw
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def lstm_flat_fused(xw_flat: jnp.ndarray, w_hh: jnp.ndarray):
+    """Differentiable flat-layout fused recurrence: same contract as
+    lstm_scan_pallas_flat (out [T,B,2H] natural order, h_T, c_T) with a
+    flat Pallas backward pass (custom VJP). The training path uses this so
+    the input projection stays ONE [B*T, D] @ [D, 8H] matmul end-to-end —
+    forward AND backward (d_xw comes back flat, so the projection's VJP is
+    one fused matmul too)."""
+    out, _, hT, cT = lstm_scan_pallas_train_flat(xw_flat, w_hh)
+    return out, hT, cT
+
+
+def _flat_fused_fwd(xw_flat, w_hh):
+    out, c_seq, hT, cT = lstm_scan_pallas_train_flat(xw_flat, w_hh)
+    return (out, hT, cT), (xw_flat, w_hh, out, c_seq)
+
+
+def _flat_fused_bwd(residuals, cotangents):
+    xw_flat, w_hh, out, c_seq = residuals
+    d_out, d_hT, d_cT = cotangents
+    dxw, dw = lstm_scan_pallas_bwd_flat(xw_flat, w_hh, out, c_seq,
+                                        d_out.astype(out.dtype), d_hT, d_cT)
+    return dxw.astype(xw_flat.dtype), dw.astype(w_hh.dtype)
+
+
+lstm_flat_fused.defvjp(_flat_fused_fwd, _flat_fused_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=())
 def lstm_scan_fused(xw: jnp.ndarray, w_hh: jnp.ndarray):
     """Differentiable fused recurrence: same contract as lstm_scan_pallas

@@ -175,13 +175,17 @@ class BiLSTM(nn.Module):
                         > _EVAL_VMEM_BUDGET:
                     mode = False  # even one 8-row chunk won't fit
 
-            if mode in (True, 'eval'):
-                # flat-layout inference path: ONE fused [B*T, D] @ [D, 8H]
-                # matmul (no stacked/time-reversed operand — ~1.8x the
-                # batched two-direction form incl. relayout; docs/KERNELS.md)
+            if mode in (True, 'eval', 'train'):
+                # flat-layout path: ONE fused [B*T, D] @ [D, 8H] matmul
+                # (no stacked/time-reversed operand — ~1.8x the batched
+                # two-direction form incl. relayout; docs/KERNELS.md)
                 # feeding the flat kernel, which reads the bwd half
                 # backwards itself and emits [T, B, 2H] in natural order.
-                from .pallas.lstm_scan import lstm_scan_pallas_flat
+                # 'train' uses the custom-VJP variant whose backward is a
+                # flat Pallas kernel, so d_xw feeds the SAME single-matmul
+                # projection in the backward pass too.
+                from .pallas.lstm_scan import (lstm_flat_fused,
+                                               lstm_scan_pallas_flat)
                 w_cat = jnp.concatenate(
                     [w_ih[0], w_ih[1]], axis=-1).astype(self.dtype)
                 b_cat = jnp.concatenate([b[0], b[1]], axis=-1)
@@ -192,7 +196,9 @@ class BiLSTM(nn.Module):
                 if B8 != B:
                     xw = jnp.pad(xw, ((0, 0), (0, B8 - B), (0, 0)))
                 w_c = w_hh.astype(self.dtype)
-                if kernel_B == B8:
+                if mode == 'train':
+                    out, h_f, c_f = lstm_flat_fused(xw, w_c)
+                elif kernel_B == B8:
                     out, h_f, c_f = lstm_scan_pallas_flat(xw, w_c)
                 else:
                     parts = [lstm_scan_pallas_flat(
@@ -216,22 +222,11 @@ class BiLSTM(nn.Module):
                                 ).astype(self.dtype)
                 xw = xw + b[:, None, None, :].astype(self.dtype)
                 xw = jnp.transpose(xw, (2, 0, 1, 3))  # [T, 2, B, 4H]
-                if mode == 'train':
-                    from .pallas.lstm_scan import lstm_scan_fused
-                    if B8 != B:
-                        xw = jnp.pad(xw,
-                                     ((0, 0), (0, 0), (0, B8 - B), (0, 0)))
-                    out, h_f, c_f = lstm_scan_fused(
-                        xw, w_hh.astype(self.dtype))
-                    out = out.astype(self.dtype)[:, :, :B]
-                    h_f = h_f.astype(self.dtype)[:, :B]
-                    c_f = c_f.astype(self.dtype)[:, :B]
-                else:
-                    h0 = jnp.zeros((2, B, H), self.dtype)
-                    c0 = jnp.zeros((2, B, H), self.dtype)
-                    out, (h_f, c_f) = _lstm_scan(
-                        xw, w_hh.astype(self.dtype), h0, c0,
-                        unroll=self.unroll)
+                h0 = jnp.zeros((2, B, H), self.dtype)
+                c0 = jnp.zeros((2, B, H), self.dtype)
+                out, (h_f, c_f) = _lstm_scan(
+                    xw, w_hh.astype(self.dtype), h0, c0,
+                    unroll=self.unroll)
                 # [T, 2, B, H] -> fwd [B, T, H], bwd un-reversed [B, T, H]
                 fwd = jnp.transpose(out[:, 0], (1, 0, 2))
                 bwd = jnp.transpose(out[:, 1], (1, 0, 2))[:, ::-1]

@@ -218,6 +218,80 @@ def test_chunked_eval_kernel_path(rng, monkeypatch):
 
 @pytest.mark.parametrize("T,B,H", [(12, 4, 8), (7, 2, 8), (16, 8, 16),
                                    (33, 3, 8)])
+def test_flat_train_kernel_matches_scan(rng, T, B, H):
+    """Flat train forward: natural-order outputs equal the scan oracle and
+    the streamed c_seq residuals are the oracle's cell states in step
+    order (fwd t=s | bwd step s)."""
+    from shufflingvideosfortsg_tpu.ops.pallas.lstm_scan import (
+        lstm_scan_pallas_train_flat)
+
+    fwd = rng.randn(T, B, 4 * H).astype(np.float32)
+    bwd = rng.randn(T, B, 4 * H).astype(np.float32)
+    w_hh = jnp.asarray((rng.randn(2, H, 4 * H) * 0.1).astype(np.float32))
+    xw_flat = jnp.asarray(np.concatenate([fwd, bwd], axis=-1))
+    out, c_seq, hT, cT = lstm_scan_pallas_train_flat(xw_flat, w_hh,
+                                                     interpret=True)
+
+    xw_ref = jnp.asarray(np.stack([fwd, bwd[::-1]], axis=1))
+
+    def step(carry, x):
+        h, c = carry
+        gates = x + jnp.einsum('dbh,dhg->dbg', h, w_hh)
+        i = jax.nn.sigmoid(gates[..., :H])
+        f = jax.nn.sigmoid(gates[..., H:2 * H])
+        g = jnp.tanh(gates[..., 2 * H:3 * H])
+        o = jax.nn.sigmoid(gates[..., 3 * H:])
+        c = f * c + i * g
+        h = o * jnp.tanh(c)
+        return (h, c), (h, c)
+
+    zeros = jnp.zeros((2, B, H))
+    (hf, cf), (outs, cs) = jax.lax.scan(step, (zeros, zeros), xw_ref)
+    np.testing.assert_allclose(np.asarray(out)[:, :, :H],
+                               np.asarray(outs)[:, 0], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out)[:, :, H:],
+                               np.asarray(outs)[::-1, 1], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(c_seq), np.asarray(cs), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(hT), np.asarray(hf), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(cT), np.asarray(cf), atol=1e-6)
+
+
+@pytest.mark.parametrize("T,B,H", [(9, 3, 8), (12, 4, 16), (7, 2, 8)])
+def test_flat_fused_vjp_kernel_direct(rng, T, B, H):
+    """lstm_flat_fused: flat Pallas backward == lax.scan autodiff."""
+    from shufflingvideosfortsg_tpu.ops.pallas.lstm_scan import (
+        lstm_flat_fused)
+
+    fwd = rng.randn(T, B, 4 * H).astype(np.float32)
+    bwd = rng.randn(T, B, 4 * H).astype(np.float32)
+    w_hh = jnp.asarray((rng.randn(2, H, 4 * H) * 0.1).astype(np.float32))
+    xw_flat = jnp.asarray(np.concatenate([fwd, bwd], axis=-1))
+    co = jnp.asarray(rng.randn(T, B, 2 * H).astype(np.float32))
+
+    def loss_fused(xw, w):
+        o, h, c = lstm_flat_fused(xw, w)
+        return jnp.sum(o * co) + jnp.sum(h) + jnp.sum(c)
+
+    def loss_ref(xw, w):
+        # reference: stacked scan on the equivalent reversed layout, with
+        # the cotangent re-laid-out to match (bwd half reversed in time)
+        xw_stacked = jnp.stack([xw[..., :4 * H], xw[::-1, :, 4 * H:]], 1)
+        o, h, c = scan_oracle(xw_stacked, w, H)
+        # natural-order flat output: fwd half o[:,0], bwd half o[::-1,1]
+        nat = jnp.concatenate([o[:, 0], o[::-1, 1]], axis=-1)
+        return jnp.sum(nat * co) + jnp.sum(h) + jnp.sum(c)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1))(xw_flat, w_hh)
+    with pltpu.force_tpu_interpret_mode():
+        g_f = jax.grad(loss_fused, argnums=(0, 1))(xw_flat, w_hh)
+    np.testing.assert_allclose(np.asarray(g_f[0]), np.asarray(g_ref[0]),
+                               atol=5e-6, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(g_f[1]), np.asarray(g_ref[1]),
+                               atol=5e-6, rtol=1e-4)
+
+
+@pytest.mark.parametrize("T,B,H", [(12, 4, 8), (7, 2, 8), (16, 8, 16),
+                                   (33, 3, 8)])
 def test_flat_kernel_matches_scan(rng, T, B, H):
     """lstm_scan_pallas_flat: consumes un-reversed [T, B, 8H] projections,
     reads the bwd half backwards itself, emits [T, B, 2H] in natural time

@@ -113,6 +113,9 @@ DEFAULTS: Dict[str, Any] = {
     "device_bank": True,          # keep packed features resident in HBM and
                                   # gather on device (index-only H2D batches)
     "device_bank_max_gb": 8.0,    # HBM budget for the resident pack
+    "device_bank_dtype": "raw",   # 'raw': bank keeps the pack dtype;
+                                  # 'bf16': f32 packs stored bf16 (half the
+                                  # upload/HBM; gather widened to f32)
     "train_scan_chunk": 16,       # train steps per dispatch in bank mode
                                   # (lax.scan chunk; 1 = per-step dispatch)
     "aug_seg_len": None,          # segment length for shuffle_temporal modes

@@ -47,7 +47,8 @@ BANK_FEATS = 'bank_feats'
 BANK_EMB = 'bank_emb'
 
 
-def _upload_replicated(host: np.ndarray, sharding, chunk_bytes: int):
+def _upload_replicated(host: np.ndarray, sharding, chunk_bytes: int,
+                       convert=None):
     """Upload a host array replicated across the mesh, chunked along axis
     0 into a preallocated device buffer.
 
@@ -59,16 +60,22 @@ def _upload_replicated(host: np.ndarray, sharding, chunk_bytes: int):
     with a donated dynamic_update_slice keeps BOTH properties: 1x + one
     chunk of HBM, streaming-sized transfers.
     """
+    dt = host.dtype if convert is None else np.dtype(convert)
+
+    def prep(a):
+        a = np.ascontiguousarray(a)
+        return a if convert is None else a.astype(dt)
+
     if jax.process_count() > 1:
         # multi-controller: every process holds the same pack file, so a
         # callback-based assembly provides each addressable replica
         return jax.make_array_from_callback(
-            host.shape, sharding, lambda idx: np.ascontiguousarray(host[idx]))
-    row_bytes = max(1, int(np.prod(host.shape[1:])) * host.dtype.itemsize)
+            host.shape, sharding, lambda idx: prep(host[idx]))
+    row_bytes = max(1, int(np.prod(host.shape[1:])) * dt.itemsize)
     rows = max(1, chunk_bytes // row_bytes)
     if rows >= host.shape[0]:
-        return jax.device_put(np.ascontiguousarray(host), sharding)
-    buf = jax.jit(lambda: jnp.zeros(host.shape, host.dtype),
+        return jax.device_put(prep(host), sharding)
+    buf = jax.jit(lambda: jnp.zeros(host.shape, dt),
                   out_shardings=sharding)()
     zeros_nd = (0,) * (host.ndim - 1)
 
@@ -78,8 +85,7 @@ def _upload_replicated(host: np.ndarray, sharding, chunk_bytes: int):
         return jax.lax.dynamic_update_slice(b, chunk, starts)
 
     for i in range(0, host.shape[0], rows):
-        chunk = jax.device_put(np.ascontiguousarray(host[i:i + rows]),
-                               sharding)
+        chunk = jax.device_put(prep(host[i:i + rows]), sharding)
         buf = write(buf, chunk, np.int32(i))
     return buf
 
@@ -95,7 +101,14 @@ def assemble(batch: Dict[str, Any]) -> Dict[str, Any]:
     feats = batch.pop(BANK_FEATS)
     emb = batch.pop(BANK_EMB)
     rows = batch.pop('pack_row').astype(jnp.int32)
-    batch['video_feat'] = jnp.take(feats, rows, axis=0)
+    gathered = jnp.take(feats, rows, axis=0)
+    if gathered.dtype == jnp.bfloat16:
+        # bf16 bank tier: widen the per-batch gather back to f32 so the
+        # model numerics match the host path up to the one f32->bf16
+        # rounding of the stored features (tests/test_device_bank.py
+        # asserts decode-identical spans on golden-sized shapes)
+        gathered = gathered.astype(jnp.float32)
+    batch['video_feat'] = gathered
     token_ids = batch['token_ids'].astype(jnp.int32)
     batch['sent_feat'] = jnp.take(emb, token_ids, axis=0)
     N = token_ids.shape[1]
@@ -118,18 +131,33 @@ class DeviceFeatureBank:
     # batch (never a bound method capturing device arrays)
     assemble = staticmethod(assemble)
 
-    def __init__(self, pack, vocab, mesh, chunk_bytes: int = 64 << 20):
+    def __init__(self, pack, vocab, mesh, chunk_bytes: int = 64 << 20,
+                 dtype: str = 'raw'):
         self.bin_path = pack.bin_path
         sharding = replicated_sharding(mesh)
         from .featpack import HEADER_SIZE
         mm = np.memmap(pack.bin_path, dtype=pack.raw_dtype, mode='r',
                        offset=HEADER_SIZE,
                        shape=(pack.num_videos, pack.T, pack.D))
-        self.feats = _upload_replicated(mm, sharding, chunk_bytes)
+        convert = None
+        if str(dtype).lower() == 'bf16' and pack.raw_dtype != np.float16:
+            # bf16 tier (config: device_bank_dtype) — halves both the
+            # upload and the HBM residency of f32 packs (the 6.5 GiB
+            # ANet-CD c3d bank becomes 3.3 GiB); conversion happens
+            # per upload chunk (never a full-pack bf16 host copy) and
+            # assemble() widens the per-batch gather back to f32. f16
+            # packs are already half-width — converting them to bf16
+            # would only throw away mantissa bits.
+            import ml_dtypes
+            convert = ml_dtypes.bfloat16
+        self.feats = _upload_replicated(mm, sharding, chunk_bytes,
+                                        convert=convert)
         emb = np.asarray(vocab.embeddings, np.float32)
         self.embeddings = _upload_replicated(emb, sharding, chunk_bytes)
         self.T = pack.T
-        self.nbytes = int(mm.nbytes) + int(emb.nbytes)
+        itemsize = 2 if convert is not None else pack.raw_dtype.itemsize
+        self.nbytes = (pack.num_videos * pack.T * pack.D * itemsize
+                       + int(emb.nbytes))
 
     def attach(self, device_batch: Dict[str, Any]) -> Dict[str, Any]:
         """Add the resident arrays to a device batch so they enter the
@@ -165,8 +193,12 @@ def maybe_device_bank(params: Dict[str, Any], dataset, mesh,
         return None
     if dataset.is_train and bool(params.get('if_aug', False)):
         return None  # host aug_data mutates features before masking
+    bank_dtype = str(params.get('device_bank_dtype', 'raw')).lower()
     max_bytes = float(params.get('device_bank_max_gb', 8.0)) * 2 ** 30
-    nbytes = pack.num_videos * pack.T * pack.D * pack.raw_dtype.itemsize
+    itemsize = pack.raw_dtype.itemsize
+    if bank_dtype == 'bf16' and pack.raw_dtype != np.float16:
+        itemsize = 2
+    nbytes = pack.num_videos * pack.T * pack.D * itemsize
     resident = sum(b.nbytes for k, b in _BANK_CACHE.items()
                    if k[0] != pack.bin_path)
     if nbytes + resident > max_bytes:
@@ -179,11 +211,12 @@ def maybe_device_bank(params: Dict[str, Any], dataset, mesh,
         return None
     # key by device identity, not id(mesh): a GC'd mesh's id can be
     # reused by a new object, which would alias distinct meshes
-    cache_key = (pack.bin_path,
+    cache_key = (pack.bin_path, bank_dtype,
                  tuple(d.id for d in mesh.devices.flat))
     bank = _BANK_CACHE.get(cache_key)
     if bank is None:
-        bank = DeviceFeatureBank(pack, dataset.vocab, mesh)
+        bank = DeviceFeatureBank(pack, dataset.vocab, mesh,
+                                 dtype=bank_dtype)
         _BANK_CACHE[cache_key] = bank
         if logger is not None:
             logger.info('device feature bank resident: %s (%.2f GiB in HBM)',

@@ -225,7 +225,7 @@ def _banked_eval_epoch(step, model_params, host_batches, bank, mesh,
     on-device pseudo-video draws.
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
-    from .parallel.mesh import DATA_AXIS
+    from .parallel.mesh import DATA_AXIS, replicated_sharding
 
     arrays = {}
     for k in host_batches[0]:
@@ -233,7 +233,14 @@ def _banked_eval_epoch(step, model_params, host_batches, bank, mesh,
             continue
         arrays[k] = np.stack([np.asarray(b[k]) for b in host_batches])
     sharding = NamedSharding(mesh, P(None, DATA_AXIS))
-    dev = {k: jax.device_put(v, sharding) for k, v in arrays.items()}
+    multihost = jax.process_count() > 1
+    if multihost:
+        # each host stacked its own loader stripe (equal batch counts by
+        # BatchLoader's stripe equalization); assemble global arrays
+        dev = {k: jax.make_array_from_process_local_data(sharding, v)
+               for k, v in arrays.items()}
+    else:
+        dev = {k: jax.device_put(v, sharding) for k, v in arrays.items()}
     inner = step.inner
 
     # the jitted epoch closure is cached on the step object: a fresh
@@ -252,8 +259,13 @@ def _banked_eval_epoch(step, model_params, host_batches, bank, mesh,
         step._epoch_scan_cache = cache
     epoch = cache.get(attr)
     if epoch is None:
+        # multi-host: replicate outputs so every host can fetch them (the
+        # per-sample rows are sliced back to the local stripe below) — an
+        # all-gather of a few hundred KB once per epoch
+        jit_kw = dict(out_shardings=replicated_sharding(mesh)) \
+            if multihost else {}
         if keys is None:
-            @jax.jit
+            @functools.partial(jax.jit, **jit_kw)
             def epoch(p, batches, feats, emb):
                 def body(_, b):
                     b = dict(b)
@@ -262,7 +274,7 @@ def _banked_eval_epoch(step, model_params, host_batches, bank, mesh,
                     return None, inner(p, b)
                 return jax.lax.scan(body, None, batches)[1]
         else:
-            @jax.jit
+            @functools.partial(jax.jit, **jit_kw)
             def epoch(p, batches, ks, feats, emb):
                 def body(_, xs):
                     b, kk = xs
@@ -276,7 +288,17 @@ def _banked_eval_epoch(step, model_params, host_batches, bank, mesh,
         outs = epoch(model_params, dev, bank.feats, bank.embeddings)
     else:
         outs = epoch(model_params, dev, keys, bank.feats, bank.embeddings)
-    return {k: np.asarray(v) for k, v in outs.items()}
+    fetched = {k: np.asarray(v) for k, v in outs.items()}
+    if multihost:
+        # keep this host's stripe of per-sample outputs so indices line up
+        # with the local host_batches (assembly was process-major)
+        b_local = next(iter(arrays.values())).shape[1]
+        b_global = b_local * jax.process_count()
+        lo = jax.process_index() * b_local
+        for k, v in fetched.items():
+            if v.ndim >= 2 and v.shape[1] == b_global:
+                fetched[k] = v[:, lo:lo + b_local]
+    return fetched
 
 
 def _log_eval_batches(logger, tag, fetched, n_batches, interval, mean_dt):
@@ -302,6 +324,7 @@ def _banked_train_chunks_factory(train_step, bank, mesh):
     from .parallel.mesh import DATA_AXIS
     inner = train_step.inner
     sharding = NamedSharding(mesh, P(None, DATA_AXIS))
+    multihost = jax.process_count() > 1
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def run_chunk(state, key, batches, feats, emb):
@@ -324,7 +347,15 @@ def _banked_train_chunks_factory(train_step, bank, mesh):
             if k in ('vid', 'sentence', 'n_valid'):
                 continue
             arrays[k] = np.stack([np.asarray(b[k]) for b in host_chunk])
-        dev = {k: jax.device_put(v, sharding) for k, v in arrays.items()}
+        if multihost:
+            # per-host stripes assemble into global [K, B_global, ...]
+            # arrays; every host runs the same chunk boundaries (stripe
+            # lengths are equalized by the loader), so the lockstep scan
+            # dispatches and XLA's gradient all-reduces line up
+            dev = {k: jax.make_array_from_process_local_data(sharding, v)
+                   for k, v in arrays.items()}
+        else:
+            dev = {k: jax.device_put(v, sharding) for k, v in arrays.items()}
         return run_chunk(state, key, dev, bank.feats, bank.embeddings)
 
     return run
@@ -370,7 +401,7 @@ def _eval_epoch(step, model_params, loader, bank, mesh, key=None):
     OutputAccumulator and fetches once. ``key`` threads per-batch PRNG
     keys (valid steps' on-device pseudo draws).
     """
-    if bank is not None and jax.process_count() == 1:
+    if bank is not None:
         host_batches = list(loader)
         keys = None
         if key is not None:
@@ -449,7 +480,7 @@ def main_train(params: Dict[str, Any]) -> Dict[str, Any]:
         assembler=valid_bank.assemble if valid_bank else None)
     chunk = int(params.get('train_scan_chunk', 16))
     run_chunk = None
-    if train_bank is not None and jax.process_count() == 1 and chunk > 1:
+    if train_bank is not None and chunk > 1:
         run_chunk = _banked_train_chunks_factory(train_step, train_bank,
                                                  mesh)
 
@@ -751,6 +782,8 @@ def main_train_baseline(params: Dict[str, Any]) -> Dict[str, Any]:
                                     params, logger, step_epoch, saver, mesh,
                                     'val_data', bank=valid_bank)
             statistics['mIoU'][step_epoch] = round(miou * 100, 2)
+            saver.log_metrics({'epoch': step_epoch, 'phase': 'valid',
+                               'miou': miou})
         if ((step_epoch + 1) % params['save_model_interval'] == 0
                 or (step_epoch + 1) == params['epoch']) and _is_proc0():
             path = saver.save_checkpoint(step_epoch, state, key)

@@ -308,14 +308,27 @@ class BatchLoader:
         idx = np.arange(self._global_len())
         if self.shuffle:
             np.random.RandomState(self.seed + self.epoch).shuffle(idx)
+        self._stripe_real = len(idx)
         if self.process_count > 1:
             idx = idx[self.process_index::self.process_count]
+            self._stripe_real = len(idx)
+            # equalize stripe lengths across hosts (wrap-around padding,
+            # excluded from n_valid): every host must run the SAME number
+            # of batches or lockstep collectives/scan dispatches deadlock
+            per_host = (self._global_len() + self.process_count - 1) \
+                // self.process_count
+            assert len(idx) > 0, 'more processes than samples'
+            if len(idx) < per_host:
+                pad = idx[np.arange(per_host - len(idx)) % len(idx)]
+                idx = np.concatenate([idx, pad])
         return idx
 
-    def _make_batch(self, chunk: np.ndarray) -> Dict[str, Any]:
-        n_valid = len(chunk)
-        if n_valid < self.batch_size:
-            pad = np.arange(self.batch_size - n_valid) % max(len(self.dataset), 1)
+    def _make_batch(self, chunk: np.ndarray,
+                    n_valid: Optional[int] = None) -> Dict[str, Any]:
+        n_valid = len(chunk) if n_valid is None else n_valid
+        if len(chunk) < self.batch_size:
+            pad = np.arange(self.batch_size - len(chunk)) \
+                % max(len(self.dataset), 1)
             chunk = np.concatenate([chunk, pad])
         records = [self.dataset.build_record(int(i), self.host_pair_aug)
                    for i in chunk]
@@ -347,9 +360,11 @@ class BatchLoader:
 
     def _iter_sync(self) -> Iterator[Dict[str, Any]]:
         order = self._order()
+        real = self._stripe_real  # rows before stripe-equalizing padding
         self.epoch += 1  # each new iteration is a new epoch order
         for i in range(0, len(order), self.batch_size):
-            yield self._make_batch(order[i:i + self.batch_size])
+            chunk = order[i:i + self.batch_size]
+            yield self._make_batch(chunk, min(len(chunk), max(0, real - i)))
 
     def __iter__(self) -> Iterator[Dict[str, Any]]:
         if self.prefetch <= 0:

@@ -75,7 +75,13 @@ class RunManager:
 
     def save_submits(self, submits: Dict[str, Any], step: int,
                      key: str = 'val_data') -> str:
-        split = self.params[key].split('/')[-1].split('.')[0]
+        # multi-host submit shards arrive as '<key>.partN' (cli._submit_key):
+        # the params lookup uses the base key, the shard suffix lands in the
+        # file name so tools/merge_submits.py can recombine
+        base, _, part = key.partition('.')
+        split = self.params[base].split('/')[-1].split('.')[0]
+        if part:
+            split = f'{split}.{part}'
         file_name = os.path.join(
             self.submits_folder,
             '%s_%05d_%s.json' % (self.params['alias'], step, split))

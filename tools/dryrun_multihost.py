@@ -112,6 +112,41 @@ def run_worker(args):
     print(f'MHLOSS {args.worker} {loss:.6f}', flush=True)
 
 
+def run_driver_worker(args):
+    """Full driver epoch through cli.main_train on every multi-host fast
+    path: (a) device bank + chunked scan training + banked whole-epoch
+    scan eval, (b) bank + per-step dispatch, (c) no bank (host-gathered
+    per-batch path). The three must agree: same PRNG stream, same global
+    batches, same features — chunking and banking are pure dispatch
+    optimizations (VERDICT r2 weak #3)."""
+    import jax
+    jax.config.update('jax_platforms', 'cpu')
+    jax.distributed.initialize(coordinator_address=args.coordinator,
+                               num_processes=args.num_processes,
+                               process_id=args.worker)
+    assert jax.process_count() == args.num_processes
+
+    from shufflingvideosfortsg_tpu import cli
+
+    def train_once(alias, chunk, bank):
+        params = build_params(args.feat_dir)
+        params.update(dict(
+            train_featpath=args.pack_dir, valid_featpath=args.pack_dir,
+            val_data=ANNO, device_bank=bool(bank), train_scan_chunk=chunk,
+            epoch=1, test_interval=1, save_model_interval=99,
+            batch_log_interval=-1, debug=True, alias=alias,
+            runs=os.path.join(args.pack_dir,
+                              f'runs_{alias}_p{args.worker}')))
+        stats = cli.main_train(params)
+        return stats['loss'][0], stats['mIoU'][0]
+
+    la, ma = train_once('mh_scan2', 2, True)    # chunked scan + banked eval
+    lb, mb = train_once('mh_scan1', 1, True)    # per-step + banked eval
+    lc, mc = train_once('mh_nobank', 1, False)  # host per-batch everything
+    print(f'MHDRV {args.worker} {la:.6f} {lb:.6f} {lc:.6f} '
+          f'{ma:.4f} {mb:.4f} {mc:.4f}', flush=True)
+
+
 def run_oracle(args):
     import jax
     jax.config.update('jax_platforms', 'cpu')
@@ -175,6 +210,33 @@ def run_orchestrator(args):
             print('dryrun_multihost FAILED: worker exited', w.returncode)
             return 1
 
+    # phase 2: the driver fast paths (chunked scan train + banked eval)
+    pack_dir = os.path.join(tmp, 'pack')
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, 'tools/make_synth_pack.py'),
+         '--annotations', ANNO, '--out', pack_dir, '--t', '24', '--d',
+         str(TINY['video_feature_dim']), '--dtype', 'f16'],
+        check=True, capture_output=True)
+    coordinator2 = f'127.0.0.1:{_free_port()}'
+    dworkers = []
+    for i in range(args.num_processes):
+        cmd = [sys.executable, os.path.abspath(__file__),
+               '--driver-worker', '--worker', str(i), '--num_processes',
+               str(args.num_processes), '--coordinator', coordinator2,
+               '--feat_dir', feat_dir, '--pack_dir', pack_dir,
+               '--local_devices', str(args.local_devices)]
+        dworkers.append(subprocess.Popen(
+            cmd, env=env_for(args.local_devices), stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE, text=True))
+    douts = [w.communicate(timeout=900) for w in dworkers]
+    for w, (o, e) in zip(dworkers, douts):
+        if w.returncode != 0:
+            print(o)
+            print(e[-4000:])
+            print('dryrun_multihost FAILED: driver worker exited',
+                  w.returncode)
+            return 1
+
     oracle = subprocess.run(
         [sys.executable, os.path.abspath(__file__), '--oracle',
          '--num_processes', str(args.num_processes), '--feat_dir', feat_dir,
@@ -198,8 +260,30 @@ def run_orchestrator(args):
     spread = max(worker_losses) - min(worker_losses)
     diff = abs(worker_losses[0] - oracle_loss)
     ok = spread < 1e-5 and diff < 1e-4 * max(1.0, abs(oracle_loss))
+
+    def parse_drv(text):
+        for line in text.splitlines():
+            if line.startswith('MHDRV'):
+                vals = line.split()[2:]
+                return [float(v) for v in vals]
+        raise ValueError(f'no MHDRV line in: {text!r}')
+
+    drv = [parse_drv(o) for o, _ in douts]
+    # hosts agree with each other, and on each host: chunked-scan loss ==
+    # per-step loss == host-path loss; banked eval mIoU == host-path mIoU
+    drv_spread = max(max(r) - min(r) for r in zip(*drv))
+    la, lb, lc, ma, mb, mc = drv[0]
+    drv_ok = (drv_spread < 1e-4
+              and abs(la - lb) < 1e-4 and abs(la - lc) < 1e-3
+              and abs(ma - mb) < 1e-3 and abs(ma - mc) < 1e-2)
+    ok = ok and drv_ok
     result = {'workers': worker_losses, 'oracle': oracle_loss,
-              'spread': spread, 'diff': diff, 'ok': ok}
+              'spread': spread, 'diff': diff,
+              'driver': {'loss_scan2': la, 'loss_scan1': lb,
+                         'loss_host': lc, 'miou_scan2': ma,
+                         'miou_scan1': mb, 'miou_host': mc,
+                         'host_spread': drv_spread, 'ok': drv_ok},
+              'ok': ok}
     print('dryrun_multihost', 'ok:' if ok else 'FAILED:',
           json.dumps(result))
     return 0 if ok else 1
@@ -210,11 +294,15 @@ def main():
     ap.add_argument('--num_processes', type=int, default=2)
     ap.add_argument('--local_devices', type=int, default=2)
     ap.add_argument('--worker', type=int, default=None)
+    ap.add_argument('--driver-worker', action='store_true')
     ap.add_argument('--oracle', action='store_true')
     ap.add_argument('--coordinator', default=None)
     ap.add_argument('--feat_dir', default=None)
+    ap.add_argument('--pack_dir', default=None)
     args = ap.parse_args()
-    if args.worker is not None:
+    if args.driver_worker:
+        run_driver_worker(args)
+    elif args.worker is not None:
         run_worker(args)
     elif args.oracle:
         run_oracle(args)

@@ -3,16 +3,19 @@
 Two layers of evidence:
 
 1. ``LEARNING.json`` (repo root) — the committed artifact of the
-   full-size TPU experiment: GMD and the QAVE baseline trained through
-   the real ``train.py``/``train_baseline.py`` CLIs on the
-   signal-bearing, temporally BIASED synthetic corpus
+   full-size TPU experiments: GMD and the QAVE baseline trained through
+   the real ``train.py``/``train_baseline.py`` CLIs on signal-bearing,
+   temporally BIASED synthetic corpora
    (tools/make_signal_corpus.py: train/val/iid moments early, ood
    moments late — the Charades-CD changing-distribution protocol,
    arXiv 2207.14698 §4), then evaluated through ``test.py``/
-   ``test_baseline.py`` on the shifted ood split. The assertions here
-   pin the two system properties the paper exists for: the framework
-   LEARNS (ood mIoU way above chance), and the shuffling losses DEBIAS
-   (GMD ood > QAVE ood). Reference anchor for this kind of artifact:
+   ``test_baseline.py`` on the shifted ood split, with an untrained
+   model's ood table pinning chance. The assertions here pin the two
+   system properties the paper exists for: the framework LEARNS (ood
+   far above the measured chance), and the shuffling losses DEBIAS
+   (GMD ood > QAVE ood on the CD-like corpus; 30x on the disjoint
+   stress corpus, where the baseline collapses BELOW chance).
+   Reference anchor for this kind of artifact:
    /root/reference/grounding/ckp/anet_cd/train.log:927 + test.log:84-88.
 
 2. A live CPU smoke: a tiny signal corpus trained through the real
@@ -25,7 +28,6 @@ import os
 import subprocess
 import sys
 
-import numpy as np
 import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -45,27 +47,43 @@ def artifact():
 
 
 def test_artifact_learning_far_above_chance(artifact):
-    """GMD grounds the shifted ood split way above chance — the video
-    branch learned CONTENT, not just the (now-wrong) span prior.
-    Chance on this corpus is ~4 mIoU (measured: an untrained model's
-    ood table)."""
+    """GMD grounds the shifted ood split far above the measured chance
+    (an untrained model through the same test driver) — the video branch
+    learned CONTENT, not just the (now-wrong) span prior."""
     gmd = artifact["results"]["gmd"]
+    chance = artifact["results"]["chance"]["test_ood"]
     assert gmd["test_iid"] > 50.0, gmd
-    assert gmd["test_ood"] > 15.0, gmd
+    assert gmd["test_ood"] > 2.0 * chance, (gmd, chance)
 
 
 def test_artifact_gmd_beats_baseline_under_shift(artifact):
     """The paper's claim (arXiv 2207.14698): the shuffling framework
-    beats the identically-capable baseline under distribution shift."""
+    beats the identically-capable baseline under distribution shift,
+    while matching it in-distribution."""
     gmd = artifact["results"]["gmd"]
     qave = artifact["results"]["qave"]
-    assert gmd["test_ood"] > qave["test_ood"], (gmd, qave)
+    assert gmd["test_ood"] > qave["test_ood"] + 3.0, (gmd, qave)
+    assert gmd["test_iid"] > qave["test_iid"] - 2.0, (gmd, qave)
+
+
+def test_artifact_extreme_bias_stress(artifact):
+    """Disjoint-start stress corpus: the baseline collapses far BELOW
+    chance (it actively mislocates to the trained-on early region) and
+    the shuffling losses recover an order of magnitude of it."""
+    ex = artifact["extreme_bias_variant"]["results"]
+    chance = ex["chance"]["test_ood"]
+    assert ex["qave"]["test_ood"] < 0.2 * chance, ex
+    assert ex["gmd"]["test_ood"] > 10.0 * ex["qave"]["test_ood"], ex
+    # the collapse is pure position bias, not a content failure
+    assert ex["qave"]["test_iid"] > 80.0 and ex["gmd"]["test_iid"] > 80.0
 
 
 def test_artifact_provenance(artifact):
     """The artifact records the corpus knobs + the real-CLI protocol, so
-    the run is reproducible from the committed generator."""
-    assert artifact["corpus"]["bias_frac"] < artifact["corpus"]["ood_frac"]
+    the runs are reproducible from the committed generator."""
+    c = artifact["corpus"]
+    assert 0.0 < c["bias_frac"] < 1.0 and 0.0 < c["ood_frac"] < 1.0
+    assert "train.py" in artifact["protocol"]
     for model in ("gmd", "qave"):
         for split in ("val", "test_iid", "test_ood"):
             assert isinstance(artifact["results"][model][split], float)

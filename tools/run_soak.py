@@ -1,0 +1,106 @@
+#!/usr/bin/env python3
+"""Round soak: steady-state medians for the serving/driver headline numbers.
+
+VERDICT r2 weak + item 9: single-shot serving rates through the remote
+relay carry run-to-run variance, so round-over-round comparisons were
+partly relay noise. This orchestrator runs each bench mode ``--repeats``
+times in fresh processes (compile cache warm after the first), reports
+median + min/max per metric, and writes SOAK_r{N}.json.
+
+Usage:
+  python tools/run_soak.py --out SOAK_r03.json --repeats 5
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_bench(extra, timeout=900):
+    """One bench.py invocation; returns the parsed JSON lines."""
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, 'bench.py')] + extra,
+        capture_output=True, text=True, timeout=timeout)
+    lines = []
+    for line in out.stdout.splitlines():
+        line = line.strip()
+        if line.startswith('{'):
+            try:
+                lines.append(json.loads(line))
+            except json.JSONDecodeError:
+                pass
+    if out.returncode != 0:
+        raise RuntimeError(f'bench {extra} failed:\n{out.stderr[-2000:]}')
+    return lines
+
+
+def median(xs):
+    xs = sorted(xs)
+    n = len(xs)
+    return xs[n // 2] if n % 2 else 0.5 * (xs[n // 2 - 1] + xs[n // 2])
+
+
+def repeat_mode(mode_args, repeats, timeout=900):
+    """Repeat one bench mode; collate per-metric value lists."""
+    per_metric = {}
+    for _ in range(repeats):
+        for rec in run_bench(mode_args, timeout=timeout):
+            per_metric.setdefault(rec['metric'], {'records': [],
+                                                  'values': []})
+            per_metric[rec['metric']]['records'].append(rec)
+            per_metric[rec['metric']]['values'].append(rec['value'])
+    results = []
+    for metric, d in per_metric.items():
+        rec = dict(d['records'][-1])
+        vals = d['values']
+        rec['value'] = round(median(vals), 1)
+        rec['runs'] = len(vals)
+        rec['min'] = round(min(vals), 1)
+        rec['max'] = round(max(vals), 1)
+        if rec.get('vs_baseline') and d['records'][-1]['value']:
+            rec['vs_baseline'] = round(
+                rec['vs_baseline'] * rec['value']
+                / d['records'][-1]['value'], 2)
+        results.append(rec)
+    return results
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--out', default='SOAK_r03.json')
+    ap.add_argument('--round', type=int, default=3)
+    ap.add_argument('--repeats', type=int, default=5)
+    ap.add_argument('--modes', nargs='+',
+                    default=['serve', 'serve-corpus', 'eval', 'train'])
+    args = ap.parse_args()
+
+    results = []
+    for mode in args.modes:
+        extra = ['--mode', mode]
+        if mode == 'eval':
+            for ds in ('charades', 'anet'):
+                results += repeat_mode(extra + ['--dataset', ds],
+                                       args.repeats)
+                print(f'{mode}/{ds} done', file=sys.stderr, flush=True)
+            continue
+        results += repeat_mode(extra, args.repeats)
+        print(f'{mode} done', file=sys.stderr, flush=True)
+
+    payload = {
+        'round': args.round,
+        'protocol': f'median of {args.repeats} fresh-process runs per '
+                    'metric (compile cache warm after the first); '
+                    'min/max bound the relay variance',
+        'results': results,
+    }
+    with open(os.path.join(REPO, args.out), 'w') as f:
+        json.dump(payload, f, indent=1)
+    print(json.dumps(payload, indent=1))
+
+
+if __name__ == '__main__':
+    main()

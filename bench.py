@@ -166,6 +166,35 @@ def bench_serve(args):
         'vs_baseline': round(qps / BASELINE_SENT_PER_S, 2),
         'achieved_tflops': _tflops(
             flops * (args.batch / g.query_batch), args.iters, dt),
+        'note': 'feature-shipping traffic: ~18 KB/query of f32 sentence '
+                'features cross the host link per call; through a slow '
+                'relay this path is transfer-bound (see the _tokens '
+                'metric for the compute-bound token-id path)',
+    }), flush=True)
+
+    # token-id traffic against a resident GloVe matrix (the deployment
+    # path for long-video serving — ~60 B/query over the link)
+    emb = rng.randn(1294, 300).astype(np.float32)
+    g.set_vocab(emb)
+    token_ids = rng.randint(0, 1294, size=(args.batch, N)).astype(np.int32)
+    g.ground_tokens_video(token_ids)  # compile + warm
+    for _ in range(args.warmup):
+        g.ground_tokens_video(token_ids)
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        g.ground_tokens_video(token_ids)
+    dt = time.perf_counter() - t0
+    qps_t = args.iters * args.batch / dt
+    flops_t = compiled_flops(
+        g._serve_tokens, g.model_params, g._resident_rnn0,
+        g._resident_emb, jnp.zeros((g.query_batch, N), jnp.int32))
+    print(json.dumps({
+        'metric': f'multi_query_serving_queries_per_sec_T{T}_tokens',
+        'value': round(qps_t, 1),
+        'unit': 'queries/s',
+        'vs_baseline': round(qps_t / BASELINE_SENT_PER_S, 2),
+        'achieved_tflops': _tflops(
+            flops_t * (args.batch / g.query_batch), args.iters, dt),
     }), flush=True)
 
 

@@ -50,6 +50,14 @@ class MultiQueryGrounder:
             return pred, score
 
         @jax.jit
+        def _serve_tokens(p, rnn0, emb, token_ids):
+            queries = jnp.take(emb, token_ids.astype(jnp.int32), axis=0)
+            out = model.apply({'params': p}, rnn0, queries,
+                              method=model.serve_cached)
+            pred, score = span_decode(out['start_prob'], out['end_prob'])
+            return pred, score
+
+        @jax.jit
         def _serve_multi(p, bank, queries, video_ids):
             out = model.apply({'params': p}, bank, queries, video_ids,
                               method=model.serve_cached_multi)
@@ -66,6 +74,7 @@ class MultiQueryGrounder:
 
         self._precompute = _precompute
         self._serve = _serve
+        self._serve_tokens = _serve_tokens
         self._serve_multi = _serve_multi
         self._serve_multi_tokens = _serve_multi_tokens
         self._resident_rnn0: Optional[jnp.ndarray] = None
@@ -230,6 +239,34 @@ class MultiQueryGrounder:
                                      qsharding)
             pred, score = self._serve(self.model_params,
                                       self._resident_rnn0, queries)
+            preds.append(np.asarray(pred)[:n])
+            scores.append(np.asarray(score)[:n])
+        return np.concatenate(preds), np.concatenate(scores)
+
+    def ground_tokens_video(self, token_ids: np.ndarray
+                            ) -> Tuple[np.ndarray, np.ndarray]:
+        """Ground token-id queries [Q, N] against the resident video
+        (:meth:`set_video`), embedding on device against the
+        :meth:`set_vocab` matrix. The long-video analog of
+        :meth:`ground_tokens`: a 256-query batch ships ~15 KB of int32
+        instead of ~4.6 MB of f32 features — through a slow host link
+        the feature path is transfer-bound at a third of the compute
+        rate (measured: tools/profile_serving.py vs bench serve)."""
+        assert self._resident_rnn0 is not None, 'no video set'
+        assert self._resident_emb is not None, 'no vocab set'
+        Q, qb = token_ids.shape[0], self.query_batch
+        preds, scores = [], []
+        qsharding = batch_sharding(self.mesh)
+        for i in range(0, Q, qb):
+            chunk = token_ids[i:i + qb]
+            n = len(chunk)
+            if n < qb:
+                chunk = np.concatenate(
+                    [chunk, np.repeat(chunk[-1:], qb - n, axis=0)], axis=0)
+            pred, score = self._serve_tokens(
+                self.model_params, self._resident_rnn0,
+                self._resident_emb,
+                jax.device_put(jnp.asarray(chunk, jnp.int32), qsharding))
             preds.append(np.asarray(pred)[:n])
             scores.append(np.asarray(score)[:n])
         return np.concatenate(preds), np.concatenate(scores)

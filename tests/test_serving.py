@@ -255,3 +255,25 @@ def test_sharded_corpus_bank_equals_replicated(model_and_params, rng,
 
     np.testing.assert_allclose(p_sh, p_rep, atol=1e-5)
     np.testing.assert_allclose(s_sh, s_rep, rtol=1e-4, atol=1e-6)
+
+
+def test_ground_tokens_video_equals_ground(model_and_params, rng):
+    """Single-resident-video token-id serving (the long-video deployment
+    path: ~60 B/query over the link instead of ~18 KB) must equal
+    feature serving when the features are the vocab matrix's rows."""
+    model, params = model_and_params
+    cfg = dict(sent_rnn_hiddendim=8, sent_rnn_layers=1,
+               video_encoder='query_aware_encoder', video_rnn_hiddendim=8,
+               video_rnn_layers=1, crossmodal='vs', predictor='mlp',
+               mlp_hidden_dim=8, span_hidden_dim=8, mask=False, dropout=0.0,
+               m_temp='none', m_pred_hidden=16, m_pred_activ='relu',
+               precision='f32', mesh_shape=[8])
+    g = MultiQueryGrounder(cfg, params, query_batch=8)
+    g.set_video(rng.randn(T, DV).astype(np.float32))
+    emb = rng.randn(50, 300).astype(np.float32)
+    g.set_vocab(emb)
+    token_ids = rng.randint(0, 50, (11, N)).astype(np.int32)
+    p_tok, s_tok = g.ground_tokens_video(token_ids)
+    p_feat, s_feat = g.ground(None, emb[token_ids])
+    np.testing.assert_allclose(p_tok, p_feat, atol=1e-5)
+    np.testing.assert_allclose(s_tok, s_feat, rtol=1e-5, atol=1e-6)

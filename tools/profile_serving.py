@@ -16,12 +16,16 @@ the model stages mirror GMD.serve_cached (models/gmd.py).
 
 import argparse
 import json
+import os
+import sys
 import time
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from shufflingvideosfortsg_tpu.utils.cache import enable_compilation_cache
 enable_compilation_cache()

@@ -119,7 +119,11 @@ def make_gmd_train_step(model, params: Dict[str, Any],
         aux['miou'] = miou
         return state, aux
 
-    return JittedStep(train_step, donate_argnums=(0,))
+    step = JittedStep(train_step, donate_argnums=(0,))
+    # exposed for per-stage profiling (tools/profile_train.py): the raw
+    # 4-term loss body, taking the pseudo stream explicitly
+    step.loss_fn = loss_fn
+    return step
 
 
 def make_gmd_valid_step(model, params: Dict[str, Any],

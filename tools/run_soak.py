@@ -20,7 +20,7 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_bench(extra, timeout=900):
+def run_bench(extra, timeout=1800):
     """One bench.py invocation; returns the parsed JSON lines."""
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, 'bench.py')] + extra,
@@ -44,11 +44,19 @@ def median(xs):
     return xs[n // 2] if n % 2 else 0.5 * (xs[n // 2 - 1] + xs[n // 2])
 
 
-def repeat_mode(mode_args, repeats, timeout=900):
-    """Repeat one bench mode; collate per-metric value lists."""
+def repeat_mode(mode_args, repeats, timeout=1800):
+    """Repeat one bench mode; collate per-metric value lists. A rep that
+    times out or fails is skipped (the relay can wedge for minutes after
+    a killed upload); the medians then cover the reps that completed."""
     per_metric = {}
-    for _ in range(repeats):
-        for rec in run_bench(mode_args, timeout=timeout):
+    for i in range(repeats):
+        try:
+            recs = run_bench(mode_args, timeout=timeout)
+        except Exception as exc:  # noqa: BLE001
+            print(f'rep {i} of {mode_args} failed: {exc}',
+                  file=sys.stderr, flush=True)
+            continue
+        for rec in recs:
             per_metric.setdefault(rec['metric'], {'records': [],
                                                   'values': []})
             per_metric[rec['metric']]['records'].append(rec)

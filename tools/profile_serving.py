@@ -37,33 +37,44 @@ from shufflingvideosfortsg_tpu.ops.span import span_decode        # noqa: E402
 
 
 def timed_chain(fn, args, reps, perturb=0, warmup=True):
-    """Median-free dispatch-clean timing: chain `reps` calls of ``fn``
-    inside one jit, making the perturbed argument depend on the previous
-    iteration's output so XLA cannot CSE the repeats, and fetch one
-    scalar at the end (the only honest barrier through the relay)."""
+    """Median-free dispatch-clean timing: chain calls of ``fn`` inside
+    one jit, making the perturbed argument depend on the previous
+    iteration's output so XLA cannot CSE the repeats.
 
-    @jax.jit
-    def chain(*a):
-        x0 = a[perturb]
+    Times chains of length ``reps`` and ``2*reps`` and returns the SLOPE
+    ((t2 - t1) / reps): the single scalar fetch ending a chain costs
+    ~25-35 ms through this image's relay, which would otherwise inflate
+    every stage by ~30/reps ms; the slope cancels that fixed term."""
 
-        def body(carry, _):
-            a2 = list(a)
-            a2[perturb] = x0 + carry * jnp.asarray(1e-12, x0.dtype)
-            out = fn(*a2)
-            leaves = [l for l in jax.tree_util.tree_leaves(out)
-                      if jnp.issubdtype(l.dtype, jnp.floating)]
-            s = sum(jnp.sum(l).astype(jnp.float32) for l in leaves)
-            return s * 1e-20, None
+    def make_chain(length):
+        @jax.jit
+        def chain(*a):
+            x0 = a[perturb]
 
-        carry, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=reps)
-        return carry
+            def body(carry, _):
+                a2 = list(a)
+                a2[perturb] = x0 + carry * jnp.asarray(1e-12, x0.dtype)
+                out = fn(*a2)
+                leaves = [l for l in jax.tree_util.tree_leaves(out)
+                          if jnp.issubdtype(l.dtype, jnp.floating)]
+                s = sum(jnp.sum(l).astype(jnp.float32) for l in leaves)
+                return s * 1e-20, None
 
+            carry, _ = jax.lax.scan(body, jnp.float32(0.0), None,
+                                    length=length)
+            return carry
+        return chain
+
+    c1, c2 = make_chain(reps), make_chain(2 * reps)
     if warmup:
-        np.asarray(chain(*args))
+        np.asarray(c1(*args))
+        np.asarray(c2(*args))
     t0 = time.perf_counter()
-    np.asarray(chain(*args))
-    dt = time.perf_counter() - t0
-    return dt / reps
+    np.asarray(c1(*args))
+    t1 = time.perf_counter()
+    np.asarray(c2(*args))
+    t2 = time.perf_counter()
+    return ((t2 - t1) - (t1 - t0)) / reps
 
 
 def main():

@@ -46,6 +46,7 @@ def main():
     ap.add_argument('--query-batch', type=int, default=256,
                     help='jitted program batch = gateway max_batch')
     ap.add_argument('--flush-us', type=int, default=2000)
+    ap.add_argument('--pipeline-depth', type=int, default=2)
     ap.add_argument('--precision', default='bf16')
     ap.add_argument('--warmup', type=int, default=2,
                     help='warmup dispatches before timing')
@@ -88,7 +89,8 @@ def main():
 
     gw = ServingGateway(g, mode='bank', max_batch=args.query_batch,
                         flush_us=args.flush_us, max_tokens=N,
-                        capacity=max(4096, 2 * args.clients))
+                        capacity=max(4096, 2 * args.clients),
+                        pipeline_depth=args.pipeline_depth)
 
     latencies = []
     lock = threading.Lock()

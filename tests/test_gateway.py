@@ -170,15 +170,18 @@ def grounder():
     return g
 
 
-def test_gateway_matches_direct(grounder):
+@pytest.mark.parametrize('depth', [1, 3])
+def test_gateway_matches_direct(grounder, depth):
     rng = np.random.RandomState(11)
     Q = 40
     token_ids = rng.randint(0, 50, (Q, N)).astype(np.int32)
     vids = (np.arange(Q) % 3).astype(np.int32)
     p_direct, s_direct = grounder.ground_tokens(token_ids, vids)
 
+    # depth=1 is the synchronous loop; depth=3 exercises the pipelined
+    # dispatch/completer pair (overlapped fetches, slot-first batching)
     gw = gwmod.ServingGateway(grounder, mode='bank', flush_us=2_000,
-                              max_tokens=N)
+                              max_tokens=N, pipeline_depth=depth)
     try:
         results = {}
         lock = threading.Lock()

@@ -66,6 +66,21 @@ def test_artifact_gmd_beats_baseline_under_shift(artifact):
     assert gmd["test_iid"] > qave["test_iid"] - 2.0, (gmd, qave)
 
 
+def test_artifact_seed_replication_direction(artifact):
+    """Across independently generated corpora (different seeds), the
+    debiasing direction must replicate: GMD above the baseline on the
+    shifted split, both models well above chance. The MARGIN is allowed
+    to vary with the corpus draw (it does: +6.05 and +1.06 mIoU)."""
+    rep = artifact.get("seed_replication")
+    if rep is None:
+        pytest.skip("no seed replication recorded")
+    for seed, r in rep["results_by_seed"].items():
+        assert r["gmd"]["test_ood"] > r["qave"]["test_ood"], (seed, r)
+        assert r["gmd"]["test_ood"] > 1.5 * r["chance_ood"], (seed, r)
+        assert r["qave"]["test_ood"] > 1.5 * r["chance_ood"], (seed, r)
+        assert r["gmd"]["test_iid"] > 50.0, (seed, r)
+
+
 def test_artifact_extreme_bias_stress(artifact):
     """Disjoint-start stress corpus: the baseline collapses far BELOW
     chance (it actively mislocates to the trained-on early region) and

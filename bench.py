@@ -105,23 +105,60 @@ def bench_train(args):
     step = make_gmd_train_step(model, params)
     key = jax.random.PRNGKey(0)
     flops = compiled_flops(step._jit, state, batch, key)
-    for _ in range(args.warmup + 1):
-        key, sk = jax.random.split(key)
-        state, m = step(state, batch, sk)
-    np.asarray(m['loss'])
-    t0 = time.perf_counter()
-    for _ in range(args.iters):
-        key, sk = jax.random.split(key)
-        state, m = step(state, batch, sk)
-    np.asarray(m['loss'])
-    dt = time.perf_counter() - t0
-    pairs_per_s = args.iters * B / dt
+
+    # Measure the driver's shipped dispatch shape: chunked-scan training
+    # (cli.py train_scan_chunk, default 16 steps per dispatch) — the
+    # same step body threaded through a lax.scan, one dispatch per chunk
+    # instead of per step. `--train_chunk 1` restores per-step dispatch.
+    chunk = args.train_chunk
+    if chunk > 1:
+        from functools import partial
+
+        # batch passed as an argument (closing over device arrays would
+        # bake 63 MB of constants into the HLO), state donated like the
+        # per-step jit
+        @partial(jax.jit, donate_argnums=(0,))
+        def run_chunk(st0, k0, b):
+            def body(carry, _):
+                st, k = carry
+                k, sk = jax.random.split(k)
+                st, aux = step.inner(st, b, sk)
+                return (st, k), aux['loss']
+            (st, k), losses = jax.lax.scan(body, (st0, k0), None,
+                                           length=chunk)
+            return st, k, losses[-1]
+
+        n_chunks = max(8, args.iters // chunk)
+        for _ in range(2):  # warmup
+            state, key, loss = run_chunk(state, key, batch)
+        np.asarray(loss)
+        t0 = time.perf_counter()
+        for _ in range(n_chunks):
+            state, key, loss = run_chunk(state, key, batch)
+        np.asarray(loss)
+        dt = time.perf_counter() - t0
+        iters_run = n_chunks * chunk
+    else:
+        for _ in range(args.warmup + 1):
+            key, sk = jax.random.split(key)
+            state, m = step(state, batch, sk)
+        np.asarray(m['loss'])
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            key, sk = jax.random.split(key)
+            state, m = step(state, batch, sk)
+        np.asarray(m['loss'])
+        dt = time.perf_counter() - t0
+        iters_run = args.iters
+    pairs_per_s = iters_run * B / dt
     print(json.dumps({
         'metric': 'anet_cd_train_pairs_per_sec_per_chip',
         'value': round(pairs_per_s, 1),
         'unit': 'pairs/s',
         'vs_baseline': round(pairs_per_s / 78.0, 2),
-        'achieved_tflops': _tflops(flops, args.iters, dt),
+        'achieved_tflops': _tflops(flops, iters_run, dt),
+        'dispatch': (f'{chunk}-step scan chunks (driver default path)'
+                     if chunk > 1 else 'per-step'),
     }), flush=True)
 
 
@@ -349,6 +386,9 @@ def main():
                     help='annotation root for building the corpus pack '
                          '(default: $SVTSG_DATA_ROOT)')
     ap.add_argument('--batch', type=int, default=512)
+    ap.add_argument('--train-chunk', type=int, default=16,
+                    help='steps per scan-chunk dispatch for --mode train '
+                         '(the driver default; 1 = per-step dispatch)')
     ap.add_argument('--train-batch', type=int, default=64,
                     help='batch for --mode train/all training measurement')
     ap.add_argument('--iters', type=int, default=30)

@@ -207,7 +207,8 @@ class ServingGateway:
                  first_wait_us: int = 50_000, flush_us: int = 2_000,
                  capacity: int = 4096,
                  max_tokens: Optional[int] = None,
-                 pipeline_depth: int = 1):
+                 pipeline_depth: int = 1,
+                 tokenizer=None):
         assert mode in ('bank', 'video')
         if grounder._resident_emb is None:
             raise ValueError('grounder needs set_vocab() (token-id serving)')
@@ -222,6 +223,7 @@ class ServingGateway:
         self.flush_us = flush_us
         n_tok = max_tokens or int(grounder.params.get('sent_len', 32))
         self.queue = NativeBatchQueue(capacity=capacity, max_tokens=n_tok)
+        self.tokenizer = tokenizer  # data.text_native.NativeTokenizer
         self.pipeline_depth = max(1, int(pipeline_depth))
         self._exc: Optional[BaseException] = None
         self._worker = threading.Thread(target=self._run, daemon=True,
@@ -350,6 +352,30 @@ class ServingGateway:
     def ground(self, tokens: Sequence[int], video_row: int = 0,
                timeout_s: float = 30.0) -> Tuple[int, int, float]:
         return self.result(self.submit(tokens, video_row), timeout_s)
+
+    # -- raw-text API (native tokenizer, see native/tokenizer.cpp) ----------
+    def submit_text(self, text: str, video_row: int = 0) -> int:
+        """Tokenize a raw sentence natively and enqueue it.
+
+        Requires a ``tokenizer`` (data.text_native.NativeTokenizer) at
+        construction. Queries whose in-vocab token count exceeds the queue's
+        ``max_tokens`` are truncated (pad_indices semantics); queries with
+        NO in-vocab word are rejected — an all-padding query would ground
+        an empty sentence, which the offline pipeline never produces.
+        """
+        if self.tokenizer is None:
+            raise ValueError('gateway built without tokenizer= — '
+                             'pass data.text_native.NativeTokenizer')
+        ids, n = self.tokenizer.encode(text)
+        ids = ids[:self.queue.max_tokens]
+        if not ids:
+            raise ValueError(f'no in-vocab words in query: {text!r}')
+        del n  # truncation already applied; count kept for callers who care
+        return self.submit(ids, video_row)
+
+    def ground_text(self, text: str, video_row: int = 0,
+                    timeout_s: float = 30.0) -> Tuple[int, int, float]:
+        return self.result(self.submit_text(text, video_row), timeout_s)
 
     def stats(self) -> dict:
         return self.queue.stats()

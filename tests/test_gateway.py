@@ -232,3 +232,46 @@ def test_gateway_video_mode_matches_direct(grounder):
 def test_gateway_rejects_bad_mode(grounder):
     with pytest.raises(AssertionError):
         gwmod.ServingGateway(grounder, mode='nope')
+
+
+def test_gateway_raw_text_matches_direct(grounder):
+    """submit_text: native tokenize + enqueue must equal tokenize-by-hand
+    then ground_tokens — the full raw-sentence serving path."""
+    from shufflingvideosfortsg_tpu.data.text_native import NativeTokenizer
+
+    wordtoix = {'person': 3, 'opens': 17, 'the': 5, 'door': 29,
+                'closes': 41, 'a': 8, 'window': 12}
+    tok = NativeTokenizer(wordtoix, 'charades', max_out=N)
+    texts = ['A person opens the door.',
+             'the PERSON closes a window!',
+             'door window door window door window',  # N=6 exactly
+             'unknownword the door']                  # OOV dropped
+    padded = np.zeros((len(texts), N), np.int32)
+    vids = np.array([0, 1, 2, 0], np.int32)
+    for i, s in enumerate(texts):
+        ids, _ = tok.encode(s)
+        assert ids, s
+        padded[i, :len(ids)] = ids
+    p_direct, s_direct = grounder.ground_tokens(padded, vids)
+
+    gw = gwmod.ServingGateway(grounder, mode='bank', max_tokens=N,
+                              tokenizer=tok)
+    try:
+        for i, s in enumerate(texts):
+            st, en, sc = gw.ground_text(s, int(vids[i]), timeout_s=60)
+            assert (st, en) == (p_direct[i, 0], p_direct[i, 1]), s
+            np.testing.assert_allclose(sc, s_direct[i], rtol=1e-5)
+        with pytest.raises(ValueError, match='no in-vocab'):
+            gw.submit_text('zz9qq entirely oov !!!')
+    finally:
+        gw.close()
+        tok.close()
+
+
+def test_gateway_text_requires_tokenizer(grounder):
+    gw = gwmod.ServingGateway(grounder, mode='bank', max_tokens=N)
+    try:
+        with pytest.raises(ValueError, match='tokenizer'):
+            gw.submit_text('a person opens the door')
+    finally:
+        gw.close()

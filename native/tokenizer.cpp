@@ -28,6 +28,13 @@
 //   tok_encode(h, text, mode, out_ids, max_out) -> n_ids (all matched
 //       tokens, clamped to max_out in the output buffer) | -1 bad handle
 //       mode: 0 = charades, 1 = anet
+//   tok_encode_batch(h, texts, offsets, n_texts, mode, out_ids, max_out,
+//       out_counts) -> 0 | -1. texts: concatenated utf-8; offsets:
+//       int64[n_texts+1]; out_ids: int32[n_texts*max_out] row-major, each
+//       row holds the first max_out ids (unwritten slots untouched — pass
+//       a zeroed buffer for pad_indices semantics); out_counts[i] = total
+//       matched for row i. ONE foreign call per corpus: amortizes FFI
+//       overhead that dominates single-sentence encodes.
 //   tok_vocab_size(h)                           -> n_words | -1
 //   tok_destroy(h)
 
@@ -129,28 +136,28 @@ int64_t tok_vocab_size(void* h) {
   return (int64_t)static_cast<Tokenizer*>(h)->wordtoix.size();
 }
 
-// Returns the number of in-vocab tokens found (may exceed max_out; only the
-// first max_out are written — the caller uses the count to detect overflow).
-int64_t tok_encode(void* h, const char* text, int32_t mode, int32_t* out_ids,
-                   int64_t max_out) {
-  if (h == nullptr || text == nullptr) return -1;
-  auto* t = static_cast<Tokenizer*>(h);
-  thread_local std::string buf;
-  std::string_view in(text);
+namespace {
+
+// Core encode: preprocess into buf, split on ' ', look up each fragment.
+// Returns total matched; writes at most max_out ids.
+int64_t encode_one(const Tokenizer& t, std::string_view in, int32_t mode,
+                   int32_t* out_ids, int64_t max_out, std::string* buf,
+                   std::string* word) {
   if (mode == 0) {
-    preprocess_charades(in, &buf);
+    preprocess_charades(in, buf);
   } else {
-    preprocess_anet(in, &buf);
+    preprocess_anet(in, buf);
   }
   int64_t n = 0;
   size_t start = 0;
-  const size_t len = buf.size();
+  const size_t len = buf->size();
   while (start <= len) {
-    size_t end = buf.find(' ', start);
+    size_t end = buf->find(' ', start);
     if (end == std::string::npos) end = len;
     if (end > start) {  // empty fragments are never in the vocab
-      auto it = t->wordtoix.find(buf.substr(start, end - start));
-      if (it != t->wordtoix.end()) {
+      word->assign(*buf, start, end - start);
+      auto it = t.wordtoix.find(*word);
+      if (it != t.wordtoix.end()) {
         if (n < max_out) out_ids[n] = it->second;
         ++n;
       }
@@ -159,6 +166,35 @@ int64_t tok_encode(void* h, const char* text, int32_t mode, int32_t* out_ids,
     start = end + 1;
   }
   return n;
+}
+
+}  // namespace
+
+// Returns the number of in-vocab tokens found (may exceed max_out; only the
+// first max_out are written — the caller uses the count to detect overflow).
+int64_t tok_encode(void* h, const char* text, int32_t mode, int32_t* out_ids,
+                   int64_t max_out) {
+  if (h == nullptr || text == nullptr) return -1;
+  auto* t = static_cast<Tokenizer*>(h);
+  thread_local std::string buf, word;
+  return encode_one(*t, std::string_view(text), mode, out_ids, max_out,
+                    &buf, &word);
+}
+
+int tok_encode_batch(void* h, const char* texts, const int64_t* offsets,
+                     int64_t n_texts, int32_t mode, int32_t* out_ids,
+                     int64_t max_out, int32_t* out_counts) {
+  if (h == nullptr || texts == nullptr) return -1;
+  auto* t = static_cast<Tokenizer*>(h);
+  std::string buf, word;
+  for (int64_t i = 0; i < n_texts; ++i) {
+    std::string_view in(texts + offsets[i],
+                        (size_t)(offsets[i + 1] - offsets[i]));
+    out_counts[i] = (int32_t)encode_one(*t, in, mode,
+                                        out_ids + i * max_out, max_out,
+                                        &buf, &word);
+  }
+  return 0;
 }
 
 int tok_destroy(void* h) {

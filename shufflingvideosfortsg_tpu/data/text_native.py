@@ -48,6 +48,11 @@ def _load_native() -> Optional[ctypes.CDLL]:
         lib.tok_encode.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
                                    ctypes.c_int32, i32p, ctypes.c_int64]
         lib.tok_encode.restype = ctypes.c_int64
+        lib.tok_encode_batch.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                         i64p, ctypes.c_int64,
+                                         ctypes.c_int32, i32p,
+                                         ctypes.c_int64, i32p]
+        lib.tok_encode_batch.restype = ctypes.c_int
         lib.tok_vocab_size.argtypes = [ctypes.c_void_p]
         lib.tok_vocab_size.restype = ctypes.c_int64
         lib.tok_destroy.argtypes = [ctypes.c_void_p]
@@ -81,6 +86,14 @@ class NativeTokenizer:
         self.max_out = int(max_out)
         self._wordtoix = wordtoix
         self._h: Optional[ctypes.c_void_p] = None
+        # per-instance reusable output buffer + pre-bound symbols: the
+        # per-call ctypes cost (ndarray alloc, data_as cast, attribute
+        # lookups) would otherwise dominate short-sentence encodes.
+        # encode() is therefore NOT reentrant on one instance — the
+        # gateway serializes submits per tokenizer, which is the use.
+        self._out = np.empty(self.max_out, np.int32)
+        self._outp = self._out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+        self._encode_fn = _LIB.tok_encode if _LIB is not None else None
         if use_native and _LIB is not None:
             h = ctypes.c_void_p()
             rc = _LIB.tok_create(ctypes.byref(h))
@@ -108,14 +121,12 @@ class NativeTokenizer:
 
     def encode(self, text: str) -> Tuple[List[int], int]:
         if self._h is not None:
-            out = np.empty(self.max_out, np.int32)
-            n = _LIB.tok_encode(
-                self._h, text.encode('utf-8'), self.mode,
-                out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-                self.max_out)
+            n = self._encode_fn(self._h, text.encode('utf-8'), self.mode,
+                                self._outp, self.max_out)
             if n < 0:
                 raise RuntimeError(f'tok_encode failed: {n}')
-            return out[:min(int(n), self.max_out)].tolist(), int(n)
+            n = int(n)
+            return self._out[:min(n, self.max_out)].tolist(), n
         # pure-Python fallback: the exact pipeline composition
         # (annotations.py:64-67)
         if self.mode == 0:
@@ -125,6 +136,42 @@ class NativeTokenizer:
         idxs = [self._wordtoix[w] for w in pre.lower().split(' ')
                 if w in self._wordtoix]
         return idxs[:self.max_out], len(idxs)
+
+    def encode_batch(self, texts: List[str]) -> Tuple[np.ndarray, np.ndarray]:
+        """Encode many sentences in ONE foreign call.
+
+        Returns ``(ids, counts)``: ids is ``[n, max_out]`` int32,
+        zero-padded (pad_indices semantics — 0 is the '.' token);
+        ``counts[i]`` is the total in-vocab tokens of sentence i
+        (``> max_out`` means that row truncated). The single call
+        amortizes the FFI overhead that dominates per-sentence encodes,
+        so corpus tokenization runs at C++ speed.
+        """
+        n = len(texts)
+        ids = np.zeros((n, self.max_out), np.int32)
+        counts = np.zeros(n, np.int32)
+        if n == 0:
+            return ids, counts
+        if self._h is not None:
+            bs = [t.encode('utf-8') for t in texts]
+            offsets = np.zeros(n + 1, np.int64)
+            np.cumsum([len(b) for b in bs], out=offsets[1:])
+            blob = b''.join(bs)
+            rc = _LIB.tok_encode_batch(
+                self._h, blob,
+                offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                n, self.mode,
+                ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                self.max_out,
+                counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+            if rc != 0:
+                raise RuntimeError(f'tok_encode_batch failed: {rc}')
+            return ids, counts
+        for i, t in enumerate(texts):
+            row, c = self.encode(t)
+            ids[i, :len(row)] = row
+            counts[i] = c
+        return ids, counts
 
     def close(self) -> None:
         if self._h is not None and _LIB is not None:

@@ -87,6 +87,28 @@ def test_overflow_reports_total_count():
     assert n == 13 and ids == want[:4]
 
 
+@pytest.mark.parametrize('dataset,vocab_path',
+                         [('charades', CHARADES_WORDS),
+                          ('anet', ANET_WORDS)])
+def test_encode_batch_matches_per_call(dataset, vocab_path):
+    wordtoix = _vocab(vocab_path)
+    tok = text_native.NativeTokenizer(wordtoix, dataset, max_out=6)
+    py = text_native.NativeTokenizer(wordtoix, dataset, max_out=6,
+                                     use_native=False)
+    ids, counts = tok.encode_batch(CASES)
+    ids_py, counts_py = py.encode_batch(CASES)
+    np.testing.assert_array_equal(ids, ids_py)
+    np.testing.assert_array_equal(counts, counts_py)
+    for i, text in enumerate(CASES):
+        row, n = tok.encode(text)
+        assert counts[i] == n
+        want = np.zeros(6, np.int32)
+        want[:len(row)] = row
+        np.testing.assert_array_equal(ids[i], want, err_msg=text)
+    e_ids, e_counts = tok.encode_batch([])
+    assert e_ids.shape == (0, 6) and e_counts.shape == (0,)
+
+
 def test_python_fallback_path_identical():
     wordtoix = _vocab(CHARADES_WORDS)
     nat = text_native.NativeTokenizer(wordtoix, 'charades')

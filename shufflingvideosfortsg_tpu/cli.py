@@ -266,28 +266,34 @@ def _banked_eval_epoch(step, model_params, host_batches, bank, mesh,
             if multihost else {}
         if keys is None:
             @functools.partial(jax.jit, **jit_kw)
-            def epoch(p, batches, feats, emb):
+            def epoch(p, batches, feats, emb, scales):
                 def body(_, b):
                     b = dict(b)
                     b['bank_feats'] = feats
                     b['bank_emb'] = emb
+                    if scales is not None:  # int8 bank tier
+                        b['bank_scale'] = scales
                     return None, inner(p, b)
                 return jax.lax.scan(body, None, batches)[1]
         else:
             @functools.partial(jax.jit, **jit_kw)
-            def epoch(p, batches, ks, feats, emb):
+            def epoch(p, batches, ks, feats, emb, scales):
                 def body(_, xs):
                     b, kk = xs
                     b = dict(b)
                     b['bank_feats'] = feats
                     b['bank_emb'] = emb
+                    if scales is not None:  # int8 bank tier
+                        b['bank_scale'] = scales
                     return None, inner(p, b, kk)
                 return jax.lax.scan(body, None, (batches, ks))[1]
         cache[attr] = epoch
     if keys is None:
-        outs = epoch(model_params, dev, bank.feats, bank.embeddings)
+        outs = epoch(model_params, dev, bank.feats, bank.embeddings,
+                     bank.scales)
     else:
-        outs = epoch(model_params, dev, keys, bank.feats, bank.embeddings)
+        outs = epoch(model_params, dev, keys, bank.feats, bank.embeddings,
+                     bank.scales)
     fetched = {k: np.asarray(v) for k, v in outs.items()}
     if multihost:
         # keep this host's stripe of per-sample outputs so indices line up
@@ -327,13 +333,15 @@ def _banked_train_chunks_factory(train_step, bank, mesh):
     multihost = jax.process_count() > 1
 
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def run_chunk(state, key, batches, feats, emb):
+    def run_chunk(state, key, batches, feats, emb, scales):
         def body(carry, b):
             st, k = carry
             k, sk = jax.random.split(k)
             b = dict(b)
             b['bank_feats'] = feats
             b['bank_emb'] = emb
+            if scales is not None:  # int8 bank tier
+                b['bank_scale'] = scales
             st, m = inner(st, b, sk)
             return (st, k), m
         (state, key), ms = jax.lax.scan(body, (state, key), batches)
@@ -356,7 +364,8 @@ def _banked_train_chunks_factory(train_step, bank, mesh):
                    for k, v in arrays.items()}
         else:
             dev = {k: jax.device_put(v, sharding) for k, v in arrays.items()}
-        return run_chunk(state, key, dev, bank.feats, bank.embeddings)
+        return run_chunk(state, key, dev, bank.feats, bank.embeddings,
+                         bank.scales)
 
     return run
 

@@ -115,7 +115,9 @@ DEFAULTS: Dict[str, Any] = {
     "device_bank_max_gb": 8.0,    # HBM budget for the resident pack
     "device_bank_dtype": "raw",   # 'raw': bank keeps the pack dtype;
                                   # 'bf16': f32 packs stored bf16 (half the
-                                  # upload/HBM; gather widened to f32)
+                                  # upload/HBM; gather widened to f32);
+                                  # 'int8': per-frame symmetric quant (1/4
+                                  # of f32, 1/2 of f16; dequant on device)
     "train_scan_chunk": 16,       # train steps per dispatch in bank mode
                                   # (lax.scan chunk; 1 = per-step dispatch)
     "aug_seg_len": None,          # segment length for shuffle_temporal modes

@@ -45,6 +45,21 @@ ASSEMBLED_KEYS = ('video_feat', 'sent_feat', 'sent_mask', 'video_mask',
 # keys under which the resident arrays ride into jitted steps
 BANK_FEATS = 'bank_feats'
 BANK_EMB = 'bank_emb'
+BANK_SCALE = 'bank_scale'  # int8 tier only: per-(video, frame) dequant scales
+
+
+def _quant_chunk(a: np.ndarray):
+    """Symmetric per-(video, frame) int8 quantization of [..., D] features.
+
+    scale = rowwise amax / 127 (1/127 for all-zero rows), so the dequant
+    error is bounded by scale/2 = amax/254 per element — about 0.4% of the
+    frame's dynamic range, below bf16's 2^-8 relative step for the row's
+    largest values. Returns (int8 values, f32 scales[...])."""
+    a = np.asarray(a, np.float32)
+    amax = np.max(np.abs(a), axis=-1)
+    scale = (np.where(amax > 0, amax, 1.0) / 127.0).astype(np.float32)
+    q = np.clip(np.rint(a / scale[..., None]), -127, 127).astype(np.int8)
+    return q, scale
 
 
 def _upload_replicated(host: np.ndarray, sharding, chunk_bytes: int,
@@ -90,6 +105,46 @@ def _upload_replicated(host: np.ndarray, sharding, chunk_bytes: int,
     return buf
 
 
+def _upload_quantized(mm, sharding, chunk_bytes: int):
+    """int8 bank tier upload: stream the pack through per-chunk symmetric
+    quantization (no full-size host copy), returning (int8 feats [V,T,D],
+    f32 scales [V,T]) resident on device. Quarter of an f32 pack's bytes,
+    half of an f16/bf16 one — both for the slow-link upload and the HBM
+    residency; the per-batch gather dequantizes on device (``assemble``)."""
+    V, T = mm.shape[0], mm.shape[1]
+    if jax.process_count() > 1:
+        # multi-controller: callback-based assembly per addressable replica.
+        # Quantization always runs over FULL feature rows (mm[idx[:2]]) so a
+        # hypothetical D-sharded layout could not corrupt the scales.
+        feats = jax.make_array_from_callback(
+            mm.shape, sharding,
+            lambda idx: _quant_chunk(mm[tuple(idx[:2])])[0][
+                (slice(None), slice(None)) + tuple(idx[2:])])
+        scales = jax.make_array_from_callback(
+            (V, T), sharding, lambda idx: _quant_chunk(mm[tuple(idx)])[1])
+        return feats, scales
+    rows = max(1, chunk_bytes // max(1, T * int(mm.shape[2])))
+    if rows >= V:
+        q, s = _quant_chunk(mm)
+        return (jax.device_put(q, sharding), jax.device_put(s, sharding))
+    q_buf = jax.jit(lambda: jnp.zeros(mm.shape, jnp.int8),
+                    out_shardings=sharding)()
+    s_buf = jax.jit(lambda: jnp.zeros((V, T), jnp.float32),
+                    out_shardings=sharding)()
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def write(b, chunk, at):
+        starts = (at,) + tuple(jnp.zeros((), jnp.int32)
+                               for _ in range(b.ndim - 1))
+        return jax.lax.dynamic_update_slice(b, chunk, starts)
+
+    for i in range(0, V, rows):
+        q, s = _quant_chunk(mm[i:i + rows])
+        q_buf = write(q_buf, jax.device_put(q, sharding), np.int32(i))
+        s_buf = write(s_buf, jax.device_put(s, sharding), np.int32(i))
+    return q_buf, s_buf
+
+
 def assemble(batch: Dict[str, Any]) -> Dict[str, Any]:
     """Jit-traceable: turn an index-only batch (pack_row/token_ids/
     framestps/... plus the attached bank arrays) into the full model batch.
@@ -100,9 +155,16 @@ def assemble(batch: Dict[str, Any]) -> Dict[str, Any]:
     batch = dict(batch)
     feats = batch.pop(BANK_FEATS)
     emb = batch.pop(BANK_EMB)
+    scales = batch.pop(BANK_SCALE, None)
     rows = batch.pop('pack_row').astype(jnp.int32)
     gathered = jnp.take(feats, rows, axis=0)
-    if gathered.dtype == jnp.bfloat16:
+    if gathered.dtype == jnp.int8:
+        # int8 bank tier: dequantize the gathered rows on device against
+        # their per-frame scales (error ≤ amax/254 per element; decode
+        # neutrality asserted in tests/test_device_bank.py)
+        s = jnp.take(scales, rows, axis=0)
+        gathered = gathered.astype(jnp.float32) * s[..., None]
+    elif gathered.dtype == jnp.bfloat16:
         # bf16 bank tier: widen the per-batch gather back to f32 so the
         # model numerics match the host path up to the one f32->bf16
         # rounding of the stored features (tests/test_device_bank.py
@@ -139,25 +201,38 @@ class DeviceFeatureBank:
         mm = np.memmap(pack.bin_path, dtype=pack.raw_dtype, mode='r',
                        offset=HEADER_SIZE,
                        shape=(pack.num_videos, pack.T, pack.D))
-        convert = None
-        if str(dtype).lower() == 'bf16' and pack.raw_dtype != np.float16:
-            # bf16 tier (config: device_bank_dtype) — halves both the
-            # upload and the HBM residency of f32 packs (the 6.5 GiB
-            # ANet-CD c3d bank becomes 3.3 GiB); conversion happens
-            # per upload chunk (never a full-pack bf16 host copy) and
-            # assemble() widens the per-batch gather back to f32. f16
-            # packs are already half-width — converting them to bf16
-            # would only throw away mantissa bits.
-            import ml_dtypes
-            convert = ml_dtypes.bfloat16
-        self.feats = _upload_replicated(mm, sharding, chunk_bytes,
-                                        convert=convert)
+        self.scales = None
+        if str(dtype).lower() == 'int8':
+            # int8 tier (config: device_bank_dtype) — quarter of an f32
+            # pack's upload/HBM, half of an f16 one (works for both, unlike
+            # bf16 which only helps f32 packs): the 6.5 GiB ANet-CD c3d
+            # bank becomes 1.65 GiB. Per-(video, frame) symmetric scales
+            # ride along ([V, T] f32 — ~0.1% of the pack) and the gather
+            # dequantizes on device.
+            self.feats, self.scales = _upload_quantized(mm, sharding,
+                                                        chunk_bytes)
+            itemsize = 1
+            scale_bytes = pack.num_videos * pack.T * 4
+        else:
+            convert = None
+            if str(dtype).lower() == 'bf16' and pack.raw_dtype != np.float16:
+                # bf16 tier — halves both the upload and the HBM residency
+                # of f32 packs; conversion happens per upload chunk (never
+                # a full-pack bf16 host copy) and assemble() widens the
+                # per-batch gather back to f32. f16 packs are already
+                # half-width — converting them to bf16 would only throw
+                # away mantissa bits.
+                import ml_dtypes
+                convert = ml_dtypes.bfloat16
+            self.feats = _upload_replicated(mm, sharding, chunk_bytes,
+                                            convert=convert)
+            itemsize = 2 if convert is not None else pack.raw_dtype.itemsize
+            scale_bytes = 0
         emb = np.asarray(vocab.embeddings, np.float32)
         self.embeddings = _upload_replicated(emb, sharding, chunk_bytes)
         self.T = pack.T
-        itemsize = 2 if convert is not None else pack.raw_dtype.itemsize
         self.nbytes = (pack.num_videos * pack.T * pack.D * itemsize
-                       + int(emb.nbytes))
+                       + scale_bytes + int(emb.nbytes))
 
     def attach(self, device_batch: Dict[str, Any]) -> Dict[str, Any]:
         """Add the resident arrays to a device batch so they enter the
@@ -166,6 +241,8 @@ class DeviceFeatureBank:
         out = dict(device_batch)
         out[BANK_FEATS] = self.feats
         out[BANK_EMB] = self.embeddings
+        if self.scales is not None:
+            out[BANK_SCALE] = self.scales
         return out
 
 
@@ -196,9 +273,13 @@ def maybe_device_bank(params: Dict[str, Any], dataset, mesh,
     bank_dtype = str(params.get('device_bank_dtype', 'raw')).lower()
     max_bytes = float(params.get('device_bank_max_gb', 8.0)) * 2 ** 30
     itemsize = pack.raw_dtype.itemsize
-    if bank_dtype == 'bf16' and pack.raw_dtype != np.float16:
+    scale_bytes = 0
+    if bank_dtype == 'int8':
+        itemsize = 1
+        scale_bytes = pack.num_videos * pack.T * 4
+    elif bank_dtype == 'bf16' and pack.raw_dtype != np.float16:
         itemsize = 2
-    nbytes = pack.num_videos * pack.T * pack.D * itemsize
+    nbytes = pack.num_videos * pack.T * pack.D * itemsize + scale_bytes
     resident = sum(b.nbytes for k, b in _BANK_CACHE.items()
                    if k[0] != pack.bin_path)
     if nbytes + resident > max_bytes:

@@ -145,8 +145,14 @@ class GMD(nn.Module):
         [V, T, D] stack) serves mixed query traffic — query i grounds
         against video ``video_ids[i]``. The per-query gather replaces the
         single-video broadcast, everything downstream is identical."""
+        return self.serve_gathered(rnn0_bank[video_ids], query_feat)
+
+    def serve_gathered(self, rnn0_q: jnp.ndarray, query_feat: jnp.ndarray
+                       ) -> Dict[str, jnp.ndarray]:
+        """:meth:`serve_cached_multi` with the bank gather already done —
+        the int8 corpus tier gathers AND dequantizes per-query rows in the
+        serving wrapper (serving._bank_rows) before entering the model."""
         word_feat, sent_embed = self.sentence_encoder(query_feat, True)
-        rnn0_q = rnn0_bank[video_ids]
         if hasattr(self.video_encoder, 'finish_from_rnn0'):
             frame_feat = self.video_encoder.finish_from_rnn0(rnn0_q,
                                                              word_feat)

@@ -25,6 +25,20 @@ from .ops.span import span_decode
 from .parallel.mesh import batch_sharding, create_mesh, replicated_sharding
 
 
+def _bank_rows(bank, video_ids):
+    """Per-query rows of a resident rnn0 bank.
+
+    A plain array bank gathers directly; an int8 bank — the
+    ``set_corpus(dtype='int8')`` tier, stored as (int8 values [V, T, 2H],
+    f32 scales [V, T]) at half the bf16 residency — gathers both and
+    dequantizes only the gathered rows on device."""
+    if isinstance(bank, tuple):
+        q, s = bank
+        rows = jnp.take(q, video_ids, axis=0).astype(jnp.float32)
+        return rows * jnp.take(s, video_ids, axis=0)[..., None]
+    return jnp.take(bank, video_ids, axis=0)
+
+
 class MultiQueryGrounder:
     def __init__(self, params: Dict, model_params, mesh=None,
                  query_batch: int = 256):
@@ -59,16 +73,16 @@ class MultiQueryGrounder:
 
         @jax.jit
         def _serve_multi(p, bank, queries, video_ids):
-            out = model.apply({'params': p}, bank, queries, video_ids,
-                              method=model.serve_cached_multi)
+            out = model.apply({'params': p}, _bank_rows(bank, video_ids),
+                              queries, method=model.serve_gathered)
             pred, score = span_decode(out['start_prob'], out['end_prob'])
             return pred, score
 
         @jax.jit
         def _serve_multi_tokens(p, bank, emb, token_ids, video_ids):
             queries = jnp.take(emb, token_ids.astype(jnp.int32), axis=0)
-            out = model.apply({'params': p}, bank, queries, video_ids,
-                              method=model.serve_cached_multi)
+            out = model.apply({'params': p}, _bank_rows(bank, video_ids),
+                              queries, method=model.serve_gathered)
             pred, score = span_decode(out['start_prob'], out['end_prob'])
             return pred, score
 
@@ -131,7 +145,7 @@ class MultiQueryGrounder:
         self._resident_bank = self._precompute(self.model_params, videos)
 
     def set_corpus(self, pack, chunk_videos: int = 64,
-                   shard: bool = False) -> None:
+                   shard: bool = False, dtype: str = 'raw') -> None:
         """Pin an ENTIRE feature pack's worth of videos for serving.
 
         Streams the pack through the query-independent block-0 recurrence
@@ -149,6 +163,14 @@ class MultiQueryGrounder:
         inserts the collective from the sharding annotations); queries
         stay sharded on the data axis as usual. V is zero-padded up to a
         multiple of the device count.
+
+        ``dtype='int8'`` stores the bank as per-(video, frame) symmetric
+        int8 (values + f32 scales over the 2H features): half the bf16
+        residency — 2x the corpus capacity per chip — at a quantization
+        error of at most amax/254 per element, comparable to bf16's own
+        2^-8 relative step (block-0 outputs are tanh-bounded, so the
+        frame amax is ~1). The per-query gather dequantizes on device
+        (:func:`_bank_rows`).
         """
         import functools
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -164,12 +186,36 @@ class MultiQueryGrounder:
             jnp.asarray(pack.gather(np.arange(min(chunk_videos, V))),
                         jnp.float32), sharding)
         rnn0 = self._precompute(self.model_params, first)
-        bank = jax.jit(lambda: jnp.zeros((V_pad,) + rnn0.shape[1:],
-                                         rnn0.dtype),
-                       out_shardings=bank_sharding)()
+        quantize = str(dtype).lower() == 'int8'
+        if quantize:
+            bank = (
+                jax.jit(lambda: jnp.zeros((V_pad,) + rnn0.shape[1:],
+                                          jnp.int8),
+                        out_shardings=bank_sharding)(),
+                jax.jit(lambda: jnp.zeros((V_pad,) + rnn0.shape[1:-1],
+                                          jnp.float32),
+                        out_shardings=bank_sharding)())
+        else:
+            bank = jax.jit(lambda: jnp.zeros((V_pad,) + rnn0.shape[1:],
+                                             rnn0.dtype),
+                           out_shardings=bank_sharding)()
 
         @functools.partial(jax.jit, donate_argnums=(0,))
         def write(b, chunk, at):
+            if quantize:
+                qb, sb = b
+                chunk = chunk.astype(jnp.float32)
+                amax = jnp.max(jnp.abs(chunk), axis=-1)
+                scale = jnp.where(amax > 0, amax, 1.0) / 127.0
+                q = jnp.clip(jnp.round(chunk / scale[..., None]),
+                             -127, 127).astype(jnp.int8)
+                z3 = tuple(jnp.zeros((), jnp.int32)
+                           for _ in range(qb.ndim - 1))
+                z2 = tuple(jnp.zeros((), jnp.int32)
+                           for _ in range(sb.ndim - 1))
+                return (jax.lax.dynamic_update_slice(qb, q, (at,) + z3),
+                        jax.lax.dynamic_update_slice(sb, scale,
+                                                     (at,) + z2))
             zeros = tuple(jnp.zeros((), jnp.int32)
                           for _ in range(b.ndim - 1))
             return jax.lax.dynamic_update_slice(b, chunk, (at,) + zeros)
@@ -181,7 +227,7 @@ class MultiQueryGrounder:
                 jnp.asarray(pack.gather(rows), jnp.float32), sharding)
             bank = write(bank, self._precompute(self.model_params, feats),
                          np.int32(i))
-        self._resident_bank = bank
+        self._resident_bank = tuple(bank) if quantize else bank
         self._vid_to_row = dict(pack.vid_to_row)
 
     def ground_vids(self, sent_feats: np.ndarray, vids) -> Tuple[np.ndarray,

@@ -262,3 +262,112 @@ def test_bf16_bank_gating_and_budget(pack_dir_f32, monkeypatch):
     assert bank is not None
     emb_bytes = np.asarray(ds.vocab.embeddings, np.float32).nbytes
     assert bank.nbytes - emb_bytes == f32_bytes // 2
+
+
+def test_upload_quantized_chunked_matches_whole():
+    """_upload_quantized with a small chunk size reproduces whole-array
+    quantization exactly (incl. the all-zero-row scale=1/127 branch)."""
+    from shufflingvideosfortsg_tpu.data.device_bank import (_quant_chunk,
+                                                            _upload_quantized)
+    from shufflingvideosfortsg_tpu.parallel.mesh import replicated_sharding
+
+    mesh = create_mesh([1])
+    rng = np.random.default_rng(0)
+    host = rng.standard_normal((37, 5, 16)).astype(np.float32)
+    host[3] = 0.0
+    q_ref, s_ref = _quant_chunk(host)
+    q, s = _upload_quantized(host, replicated_sharding(mesh),
+                             chunk_bytes=4 * 5 * 16)  # 4-video chunks
+    np.testing.assert_array_equal(np.asarray(q), q_ref)
+    np.testing.assert_array_equal(np.asarray(s), s_ref)
+    assert np.asarray(q)[3].max() == 0 and np.asarray(s)[3].min() == 1 / 127.0
+
+
+def test_int8_bank_tier_quant_bound(pack_dir):
+    """device_bank_dtype='int8' on an f16 pack: half the residency, and the
+    assembled (dequantized on device) features stay within the per-frame
+    quantization bound |x_q - x| <= amax/254; index-derived batch members
+    are untouched."""
+    import jax.numpy as jnp
+
+    params = _params(pack_dir)
+    ds = _dataset(params)
+    mesh = create_mesh([1])
+    bank_raw = DeviceFeatureBank(ds.pack, ds.vocab, mesh)
+    bank_i8 = DeviceFeatureBank(ds.pack, ds.vocab, mesh, dtype="int8")
+    assert bank_i8.feats.dtype == jnp.int8
+    assert bank_i8.scales is not None
+    assert bank_i8.nbytes < bank_raw.nbytes
+
+    host = next(iter(BatchLoader(ds, 8, shuffle=False, prefetch=0)))
+    dev = next(iter(BatchLoader(ds, 8, shuffle=False, prefetch=0,
+                                device_assemble=True)))
+    assembled = jax.jit(bank_i8.assemble)(shard_batch(mesh, dev, bank_i8))
+    got = np.asarray(assembled['video_feat'], np.float32)
+    want = np.asarray(host['video_feat'], np.float32)
+    bound = np.max(np.abs(want), axis=-1, keepdims=True) / 254.0 + 1e-6
+    assert np.all(np.abs(got - want) <= bound)
+    np.testing.assert_array_equal(np.asarray(assembled['sent_feat']),
+                                  host['sent_feat'])
+    for k in ('sent_mask', 'video_mask', 'temporal_labels', 'fore_masks',
+              'back_masks'):
+        np.testing.assert_array_equal(np.asarray(assembled[k]), host[k],
+                                      err_msg=k)
+
+
+def test_int8_bank_decode_quality_neutral(pack_dir_f32):
+    """int8-banked eval decode vs the raw f32 bank: scores shift by at most
+    the quantization noise, spans agree on nearly all rows, batch mIoU is
+    unaffected."""
+    from shufflingvideosfortsg_tpu.models import build_model
+    from shufflingvideosfortsg_tpu.train.steps import make_gmd_test_step
+
+    params = _params(pack_dir_f32)
+    ds = _dataset(params)
+    mesh = create_mesh([1])
+    bank_raw = DeviceFeatureBank(ds.pack, ds.vocab, mesh)
+    bank_i8 = DeviceFeatureBank(ds.pack, ds.vocab, mesh, dtype="int8")
+
+    model = build_model(params, "gmd", inference=True)
+    mt = np.ones((2, T), np.int32)
+    mn = np.ones((2, 15), np.int32)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), np.zeros((2, 15, 300), np.float32), mn,
+        np.zeros((2, T, D), np.float32), mt,
+        np.zeros((2, T, D), np.float32), mt, mt, mt, mt, mt, mt, mt)
+
+    dev_b = next(iter(BatchLoader(ds, 8, shuffle=False, prefetch=0,
+                                  device_assemble=True)))
+    step = make_gmd_test_step(model, assembler=DeviceFeatureBank.assemble)
+    out_raw = step(variables["params"], shard_batch(mesh, dev_b, bank_raw))
+    out_i8 = step(variables["params"], shard_batch(mesh, dev_b, bank_i8))
+    agree = np.mean(np.all(np.isclose(np.asarray(out_raw["pred_time"]),
+                                      np.asarray(out_i8["pred_time"]),
+                                      atol=1e-4), axis=-1))
+    assert agree >= 0.75
+    np.testing.assert_allclose(np.asarray(out_raw["score"]),
+                               np.asarray(out_i8["score"]), atol=5e-2)
+    assert abs(float(out_raw["miou"]) - float(out_i8["miou"])) <= 0.1
+
+
+def test_int8_bank_gating_and_budget(pack_dir_f32, monkeypatch):
+    """maybe_device_bank accounts the int8 tier at quarter bytes (plus the
+    [V, T] f32 scales) and admits it under a budget that refuses bf16."""
+    from shufflingvideosfortsg_tpu.data import device_bank as db
+
+    monkeypatch.setattr(db, "_BANK_CACHE", {})
+    mesh = create_mesh([1])
+    params = _params(pack_dir_f32)
+    ds = _dataset(params)
+    f32_bytes = ds.pack.num_videos * T * D * 4
+    i8_bytes = f32_bytes // 4 + ds.pack.num_videos * T * 4
+    budget_gb = 1.5 * i8_bytes / 2 ** 30
+    p_bf16 = _params(pack_dir_f32, device_bank_max_gb=budget_gb,
+                     device_bank_dtype="bf16")
+    assert maybe_device_bank(p_bf16, ds, mesh) is None
+    p_i8 = _params(pack_dir_f32, device_bank_max_gb=budget_gb,
+                   device_bank_dtype="int8")
+    bank = maybe_device_bank(p_i8, ds, mesh)
+    assert bank is not None
+    emb_bytes = np.asarray(ds.vocab.embeddings, np.float32).nbytes
+    assert bank.nbytes - emb_bytes == i8_bytes

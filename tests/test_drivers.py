@@ -257,3 +257,31 @@ def test_auto_resume_continues_at_next_epoch(tiny_env):
     params3, _ = make_params("drv_fresh_auto", epoch=1, start_from="auto")
     stats3 = cli.main_train(params3)
     assert 0 in stats3["loss"]
+
+
+def test_int8_bank_driver_roundtrip(pack_env):
+    """device_bank_dtype='int8' end-to-end through the real drivers: the
+    chunked-scan train epoch and the whole-epoch scan eval both thread the
+    dequant scales (cli run_chunk/_banked_eval_epoch extra operand), and
+    the int8-banked submit stays close to the raw-bank one for the same
+    checkpoint (features perturbed <= amax/254 per frame)."""
+    make_params = pack_env
+    params, runs = make_params("drv_i8", device_bank_dtype="int8")
+    stats = cli.main_train(params)
+    assert 0 in stats["mIoU"]
+    ckpt = os.path.join(runs, "drv_i8", "model", "drv_i8_00000.ckp")
+
+    t1, _ = make_params("test_drv_i8", start_from=ckpt,
+                        device_bank_dtype="int8")
+    s1 = json.load(open(cli.main_test(t1)))
+    t2, _ = make_params("test_drv_i8_raw", start_from=ckpt)
+    s2 = json.load(open(cli.main_test(t2)))
+    assert set(s1["results"]) == set(s2["results"])
+    rows = agree = 0
+    for vid in s1["results"]:
+        for a, b in zip(s1["results"][vid], s2["results"][vid]):
+            assert a["sentence"] == b["sentence"]
+            rows += 1
+            agree += bool(np.allclose(a["timestamp"], b["timestamp"],
+                                      atol=1e-4))
+    assert agree >= 0.75 * rows

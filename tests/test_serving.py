@@ -277,3 +277,60 @@ def test_ground_tokens_video_equals_ground(model_and_params, rng):
     p_feat, s_feat = g.ground(None, emb[token_ids])
     np.testing.assert_allclose(p_tok, p_feat, atol=1e-5)
     np.testing.assert_allclose(s_tok, s_feat, rtol=1e-5, atol=1e-6)
+
+
+def _write_tiny_pack(rng, tmp_path, V=7):
+    import json
+    import struct
+
+    feats = rng.randn(V, T, DV).astype(np.float16)
+    pack_dir = tmp_path / 'pack_i8'
+    pack_dir.mkdir()
+    with open(pack_dir / 'pack.bin', 'wb') as f:
+        f.write(struct.pack('<8sIIIIQ', b'FEATPAK1', V, T, DV, 1, 0))
+        f.write(feats.tobytes())
+    vids = {f'v{i:03d}': i for i in range(V)}
+    json.dump({'vids': vids, 'nfeats': [T] * V, 't': T, 'd': DV,
+               'dtype': 'f16', 'mode': 'raw'},
+              open(pack_dir / 'index.json', 'w'))
+    from shufflingvideosfortsg_tpu.data.featpack import PackedFeatureSource
+    return PackedFeatureSource(str(pack_dir), use_native=False)
+
+
+def test_int8_corpus_bank_close_to_raw(model_and_params, rng, tmp_path):
+    """set_corpus(dtype='int8'): the bank is stored as (int8 rows, f32
+    per-frame scales) at half the residency; grounding stays within the
+    quantization noise of the raw corpus bank, and the sharded int8 bank
+    equals the replicated int8 bank exactly."""
+    model, params = model_and_params
+    V = 7
+    pack = _write_tiny_pack(rng, tmp_path, V)
+    cfg = dict(sent_rnn_hiddendim=8, sent_rnn_layers=1,
+               video_encoder='query_aware_encoder', video_rnn_hiddendim=8,
+               video_rnn_layers=1, crossmodal='vs', predictor='mlp',
+               mlp_hidden_dim=8, span_hidden_dim=8, mask=False, dropout=0.0,
+               m_temp='none', m_pred_hidden=16, m_pred_activ='relu',
+               precision='f32', mesh_shape=[8])
+    queries = rng.randn(10, N, 300).astype(np.float32)
+    ids = (np.arange(10) % V).astype(np.int32)
+
+    g = MultiQueryGrounder(cfg, params, query_batch=8)
+    g.set_corpus(pack, chunk_videos=4)
+    p_raw, s_raw = g.ground_bank(queries, ids)
+
+    g8 = MultiQueryGrounder(cfg, params, query_batch=8)
+    g8.set_corpus(pack, chunk_videos=4, dtype='int8')
+    qb, sb = g8._resident_bank
+    assert qb.dtype == jnp.int8
+    assert sb.shape == qb.shape[:2]
+    p_i8, s_i8 = g8.ground_bank(queries, ids)
+    agree = np.mean(np.all(p_raw == p_i8, axis=-1))
+    assert agree >= 0.7
+    np.testing.assert_allclose(s_raw, s_i8, atol=5e-2)
+
+    g8s = MultiQueryGrounder(cfg, params, query_batch=8)
+    g8s.set_corpus(pack, chunk_videos=4, shard=True, dtype='int8')
+    assert g8s._resident_bank[0].shape[0] == 8  # padded to device multiple
+    p_sh, s_sh = g8s.ground_bank(queries, ids)
+    np.testing.assert_array_equal(p_sh, p_i8)
+    np.testing.assert_allclose(s_sh, s_i8, rtol=1e-5, atol=1e-6)

@@ -13,6 +13,7 @@ Usage:
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, Optional, Tuple
 
 import numpy as np
@@ -136,6 +137,35 @@ class MultiQueryGrounder:
                                replicated_sharding(self.mesh))
         self._resident_rnn0 = self._precompute(self.model_params, video)
 
+    def set_video_sharded(self, video_feats: np.ndarray) -> None:
+        """Pin a VERY long [T, D] video via the sequence-parallel block-0
+        recurrence: the raw features, the [T, 8H] projections and the
+        recurrence output stream live T/n per device while the two
+        directions pipeline across the mesh (parallel/seq_parallel.py) —
+        the video's length is bounded by the MESH's memory, not one
+        chip's. T must be a multiple of the mesh size. The resident rnn0
+        ([T, 2H] — 4x smaller than the raw I3D features) replicates at
+        the end, so every ``ground*`` path afterwards is identical to
+        :meth:`set_video` (equality tested)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from .parallel.mesh import DATA_AXIS
+        from .parallel.seq_parallel import bilstm_time_sharded
+
+        mesh, model = self.mesh, self.model
+        rnn_params = (self.model_params['video_encoder']['block0']['rnn'])
+        x = jax.device_put(
+            jnp.asarray(video_feats, jnp.float32)[:, None, :],
+            NamedSharding(mesh, P(DATA_AXIS)))  # [T, 1, D] time-sharded
+
+        @functools.partial(jax.jit,
+                           out_shardings=replicated_sharding(mesh))
+        def block0_sp(p, xx):
+            out = bilstm_time_sharded(p, xx, mesh, model.video_layers,
+                                      dtype=model.dtype)
+            return jnp.transpose(out, (1, 0, 2)).astype(jnp.float32)
+
+        self._resident_rnn0 = block0_sp(rnn_params, x)
+
     def set_videos(self, video_feats: np.ndarray) -> None:
         """Pin a BANK of [V, T, D] videos: one batched block-0 recurrence
         pass (the kernel sublane-pads V<8), amortizing residency across
@@ -172,7 +202,6 @@ class MultiQueryGrounder:
         frame amax is ~1). The per-query gather dequantizes on device
         (:func:`_bank_rows`).
         """
-        import functools
         from jax.sharding import NamedSharding, PartitionSpec as P
         from .parallel.mesh import DATA_AXIS
 

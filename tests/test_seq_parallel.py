@@ -1,0 +1,113 @@
+"""Sequence-parallel (time-sharded) recurrence: the 8-device ppermute
+pipeline must equal the single-device scans and the BiLSTM module, and the
+serving tier built on it must equal the replicated set_video path."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from shufflingvideosfortsg_tpu.parallel.mesh import create_mesh
+from shufflingvideosfortsg_tpu.parallel.seq_parallel import (
+    bilstm_time_sharded, lstm_flat_time_sharded)
+
+T, B, H, D = 32, 4, 8, 16
+
+
+@pytest.fixture(scope="module")
+def rng8():
+    return np.random.default_rng(42)
+
+
+def test_pipeline_equals_single_device(rng8):
+    """8-way time-sharded recurrence == the n=1 plain-scan fallback."""
+    xw = rng8.standard_normal((T, B, 8 * H)).astype(np.float32)
+    w_hh = (rng8.standard_normal((2, H, 4 * H)) * 0.1).astype(np.float32)
+
+    mesh8 = create_mesh([8])
+    mesh1 = create_mesh([1])
+    out8, h8, c8 = jax.jit(
+        lambda a, b: lstm_flat_time_sharded(a, b, mesh8))(xw, w_hh)
+    out1, h1, c1 = jax.jit(
+        lambda a, b: lstm_flat_time_sharded(a, b, mesh1))(xw, w_hh)
+    np.testing.assert_allclose(np.asarray(out8), np.asarray(out1),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(h8), np.asarray(h1),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(c8), np.asarray(c1),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_pipeline_final_carries_match_boundaries(rng8):
+    """The replicated final carries equal the output stream's boundary
+    rows only through the cell state path — check h against out: fwd
+    final h == out[T-1, :, :H], bwd final h == out[0, :, H:]."""
+    xw = rng8.standard_normal((T, B, 8 * H)).astype(np.float32)
+    w_hh = (rng8.standard_normal((2, H, 4 * H)) * 0.1).astype(np.float32)
+    mesh8 = create_mesh([8])
+    out, h, _ = jax.jit(
+        lambda a, b: lstm_flat_time_sharded(a, b, mesh8))(xw, w_hh)
+    out = np.asarray(out)
+    h = np.asarray(h)
+    np.testing.assert_allclose(h[0], out[-1, :, :H], rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(h[1], out[0, :, H:], rtol=1e-6, atol=1e-6)
+
+
+def test_indivisible_T_raises(rng8):
+    xw = rng8.standard_normal((T + 1, B, 8 * H)).astype(np.float32)
+    w_hh = rng8.standard_normal((2, H, 4 * H)).astype(np.float32)
+    with pytest.raises(ValueError, match="multiple"):
+        lstm_flat_time_sharded(xw, w_hh, create_mesh([8]))
+
+
+def test_multilayer_equals_bilstm_module(rng8):
+    """bilstm_time_sharded over 8 devices == ops.rnn.BiLSTM (lax.scan
+    path) with the same params, 2 layers."""
+    from shufflingvideosfortsg_tpu.ops.rnn import BiLSTM
+
+    x = rng8.standard_normal((B, T, D)).astype(np.float32)
+    mod = BiLSTM(hidden_size=H, num_layers=2, dropout=0.0)
+    params = mod.init(jax.random.PRNGKey(0), jnp.asarray(x))["params"]
+    ref, _, _ = mod.apply({"params": params}, jnp.asarray(x))
+
+    mesh8 = create_mesh([8])
+    out = jax.jit(lambda p, a: bilstm_time_sharded(p, a, mesh8, 2))(
+        params, jnp.transpose(jnp.asarray(x), (1, 0, 2)))
+    np.testing.assert_allclose(np.transpose(np.asarray(out), (1, 0, 2)),
+                               np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_set_video_sharded_equals_set_video(rng8):
+    """Serving: the sequence-parallel block-0 precompute yields the same
+    resident rnn0 — and therefore the same grounding — as set_video."""
+    from shufflingvideosfortsg_tpu.serving import MultiQueryGrounder
+    from tests.test_serving import tiny_gmd
+
+    Tl, N, DV = 40, 6, 16  # 40 % 8 == 0
+    model = tiny_gmd()
+    mt = jnp.ones((2, Tl), jnp.int32)
+    mn = jnp.ones((2, N), jnp.int32)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((2, N, 300)), mn,
+                   jnp.zeros((2, Tl, DV)), mt, jnp.zeros((2, Tl, DV)), mt,
+                   mt, mt, mt, mt, mt, mt)
+    cfg = dict(sent_rnn_hiddendim=8, sent_rnn_layers=1,
+               video_encoder='query_aware_encoder', video_rnn_hiddendim=8,
+               video_rnn_layers=1, crossmodal='vs', predictor='mlp',
+               mlp_hidden_dim=8, span_hidden_dim=8, mask=False, dropout=0.0,
+               m_temp='none', m_pred_hidden=16, m_pred_activ='relu',
+               precision='f32', mesh_shape=[8])
+    g = MultiQueryGrounder(cfg, v['params'], query_batch=8)
+    video = rng8.standard_normal((Tl, DV)).astype(np.float32)
+    queries = rng8.standard_normal((11, N, 300)).astype(np.float32)
+
+    g.set_video(video)
+    rnn0_rep = np.asarray(g._resident_rnn0)
+    p_rep, s_rep = g.ground(None, queries)
+
+    g.set_video_sharded(video)
+    rnn0_sp = np.asarray(g._resident_rnn0)
+    np.testing.assert_allclose(rnn0_sp, rnn0_rep, rtol=1e-5, atol=1e-5)
+    p_sp, s_sp = g.ground(None, queries)
+    np.testing.assert_array_equal(p_sp, p_rep)
+    np.testing.assert_allclose(s_sp, s_rep, rtol=1e-4, atol=1e-5)

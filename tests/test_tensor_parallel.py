@@ -1,0 +1,59 @@
+"""Tensor-parallel (hidden-axis-sharded) BiLSTM: the Megatron-split
+recurrence over a model mesh must equal the plain BiLSTM module, on a
+pure model mesh and on a 2D data-x-model mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from shufflingvideosfortsg_tpu.ops.rnn import BiLSTM
+from shufflingvideosfortsg_tpu.parallel.tensor_parallel import (
+    bilstm_hidden_sharded, create_tp_mesh)
+
+T, B, H, D = 12, 8, 16, 24
+
+
+def _params_and_ref(num_layers):
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((B, T, D)).astype(np.float32)
+    mod = BiLSTM(hidden_size=H, num_layers=num_layers, dropout=0.0)
+    params = mod.init(jax.random.PRNGKey(0), jnp.asarray(x))["params"]
+    ref, _, _ = mod.apply({"params": params}, jnp.asarray(x))
+    return params, x, np.asarray(ref)
+
+
+def test_model_mesh_equals_bilstm():
+    """8-way pure model parallelism == the lax.scan module, 2 layers."""
+    params, x, ref = _params_and_ref(2)
+    mesh = create_tp_mesh(1, 8)
+    out = jax.jit(lambda p, a: bilstm_hidden_sharded(
+        p, a, mesh, 2, data_axis=None))(
+            params, jnp.transpose(jnp.asarray(x), (1, 0, 2)))
+    np.testing.assert_allclose(np.transpose(np.asarray(out), (1, 0, 2)),
+                               ref, rtol=1e-5, atol=1e-5)
+
+
+def test_2d_mesh_equals_bilstm():
+    """2x4 data-x-model mesh: batch shards over 'data' while hidden
+    shards over 'model'; result equals the module."""
+    params, x, ref = _params_and_ref(1)
+    mesh = create_tp_mesh(2, 4)
+    out = jax.jit(lambda p, a: bilstm_hidden_sharded(p, a, mesh, 1))(
+        params, jnp.transpose(jnp.asarray(x), (1, 0, 2)))
+    np.testing.assert_allclose(np.transpose(np.asarray(out), (1, 0, 2)),
+                               ref, rtol=1e-5, atol=1e-5)
+
+
+def test_indivisible_hidden_raises():
+    params, x, _ = _params_and_ref(1)
+    mesh = create_tp_mesh(1, 3)
+    with pytest.raises(ValueError, match="divide"):
+        bilstm_hidden_sharded(params, jnp.transpose(
+            jnp.asarray(x), (1, 0, 2)), mesh, 1, data_axis=None)
+
+
+def test_too_few_devices_raises():
+    with pytest.raises(ValueError, match="devices"):
+        create_tp_mesh(4, 4)

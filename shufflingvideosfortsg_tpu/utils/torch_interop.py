@@ -144,3 +144,124 @@ def load_reference_ckp(path: str, **kwargs) -> Dict:
         obj = obj["state_dict"]
     sd = {k: v.detach().cpu().numpy() for k, v in obj.items()}
     return convert_reference_state_dict(sd, **kwargs)
+
+
+# ---------------------------------------------------------------------------
+# Export direction: this framework's pytree -> reference state_dict, so
+# weights trained here load into the reference's own torch modules
+# (grounding/test.py:76-78 does `model.load_state_dict(torch.load(...))`
+# on the raw dicts written by grounding/train.py:406-408). Exact inverses
+# of the converters above; strict-load + forward parity against the
+# reference's GMD is asserted in tests/test_ckp_export.py.
+
+
+def _f32(x) -> np.ndarray:
+    return np.ascontiguousarray(np.asarray(x, dtype=np.float32))
+
+
+def linear_to_torch(tree: Dict, prefix: str, out: Dict[str, np.ndarray]) -> None:
+    out[f"{prefix}.weight"] = _f32(tree["kernel"]).T.copy()
+    if "bias" in tree:
+        out[f"{prefix}.bias"] = _f32(tree["bias"])
+
+
+def layernorm_to_torch(tree: Dict, prefix: str, out: Dict[str, np.ndarray]) -> None:
+    out[f"{prefix}.weight"] = _f32(tree["scale"])
+    out[f"{prefix}.bias"] = _f32(tree["bias"])
+
+
+def bilstm_to_torch(tree: Dict, prefix: str, num_layers: int,
+                    out: Dict[str, np.ndarray]) -> None:
+    """[2, D, 4H]-stacked directions back to cuDNN per-direction tensors."""
+    for layer in range(num_layers):
+        for r, rev in enumerate(("", "_reverse")):
+            out[f"{prefix}.weight_ih_l{layer}{rev}"] = \
+                _f32(tree[f"w_ih_l{layer}"][r]).T.copy()
+            out[f"{prefix}.weight_hh_l{layer}{rev}"] = \
+                _f32(tree[f"w_hh_l{layer}"][r]).T.copy()
+            out[f"{prefix}.bias_ih_l{layer}{rev}"] = \
+                _f32(tree[f"b_ih_l{layer}"][r])
+            out[f"{prefix}.bias_hh_l{layer}{rev}"] = \
+                _f32(tree[f"b_hh_l{layer}"][r])
+
+
+def _scdm_to_torch(tree: Dict, prefix: str, out: Dict[str, np.ndarray]) -> None:
+    linear_to_torch(tree["W_s"], f"{prefix}.W_s", out)
+    linear_to_torch(tree["W_a"], f"{prefix}.W_a", out)
+    out[f"{prefix}.w.weight"] = _f32(tree["w"]).T.copy()
+
+
+def _video_encoder_to_torch(tree: Dict, nblocks: int, video_layers: int,
+                            out: Dict[str, np.ndarray]) -> None:
+    for i in range(nblocks):
+        block = tree[f"block{i}"]
+        p = f"video_encoder.blocks.{i}"
+        bilstm_to_torch(block["rnn"], f"{p}.rnn_cell.lstm", video_layers, out)
+        _scdm_to_torch(block["attention"], f"{p}.attention", out)
+        linear_to_torch(block["sent_linear"], f"{p}.sent_linear", out)
+    layernorm_to_torch(tree["norm"], "video_encoder.norm", out)
+
+
+def _span_predictor_to_torch(tree: Dict, predictor_name: str,
+                             out: Dict[str, np.ndarray]) -> None:
+    pred = tree["predictor"]
+    p = "span_predictor.predictor"
+    if predictor_name in ("mlp", "a"):
+        names = ("start_mlp_1", "start_mlp_2", "end_mlp_1", "end_mlp_2")
+    elif predictor_name in ("tied_lstm", "b", "cat_tied_lstm", "b2"):
+        bilstm_to_torch(pred["cross_lstm"], f"{p}.cross_lstm.lstm", 1, out)
+        names = ("start_mlp_1", "start_mlp_2", "end_mlp_1", "end_mlp_2")
+    elif predictor_name in ("condi_lstm", "c"):
+        bilstm_to_torch(pred["start_lstm"], f"{p}.start_lstm.lstm", 1, out)
+        bilstm_to_torch(pred["end_lstm"], f"{p}.end_lstm.lstm", 1, out)
+        names = ("start_fc", "end_fc")
+    elif predictor_name in ("cat_condi_lstm", "c2"):
+        bilstm_to_torch(pred["start_lstm"], f"{p}.start_lstm.lstm", 1, out)
+        bilstm_to_torch(pred["end_lstm"], f"{p}.end_lstm.lstm", 1, out)
+        names = ("start_mlp_1", "start_mlp_2", "end_mlp_1", "end_mlp_2")
+    else:
+        raise ValueError(f"unsupported predictor for export: {predictor_name}")
+    for n in names:
+        linear_to_torch(pred[n], f"{p}.{n}", out)
+
+
+def convert_to_reference_state_dict(params: Dict,
+                                    kind: str = "gmd",
+                                    sent_layers: int = 2,
+                                    video_layers: int = 2,
+                                    nblocks: int = 2,
+                                    predictor_name: str = "mlp",
+                                    m_temp: str = "none"
+                                    ) -> Dict[str, np.ndarray]:
+    """Map this framework's parameter pytree onto a reference
+    ``model.state_dict()`` (numpy-valued, float32) for GMD or Baseline."""
+    out: Dict[str, np.ndarray] = {}
+    linear_to_torch(params["sentence_encoder"]["word_embed"],
+                    "sentence_encoder.word_embed", out)
+    bilstm_to_torch(params["sentence_encoder"]["rnn"],
+                    "sentence_encoder.rnn_cell.lstm", sent_layers, out)
+    _video_encoder_to_torch(params["video_encoder"], nblocks, video_layers,
+                            out)
+    _span_predictor_to_torch(params["span_predictor"], predictor_name, out)
+    if kind.lower() in ("gmd", "qave_match"):
+        csmm = params["csmm"]
+        linear_to_torch(csmm["predict_1"], "csmm.predict.predict.0", out)
+        linear_to_torch(csmm["predict_2"], "csmm.predict.predict.2", out)
+        if m_temp.lower() == "lstm":
+            bilstm_to_torch(csmm["temporal"], "csmm.temporal.lstm.lstm", 2,
+                            out)
+        linear_to_torch(params["tod"]["foreback"], "tod.foreback_context.0",
+                        out)
+        linear_to_torch(params["tod"]["classifier"],
+                        "tod.fc_classifier_domain_video.0", out)
+    return out
+
+
+def save_reference_ckp(params: Dict, path: str, **kwargs) -> None:
+    """Write a reference-format ``.ckp``: a raw torch ``state_dict`` the
+    reference's ``test.py`` loads unchanged. Requires torch (CPU)."""
+    import torch
+
+    sd = convert_to_reference_state_dict(params, **kwargs)
+    torch.save({k: torch.from_numpy(np.array(v)) for k, v in sd.items()},
+               path)

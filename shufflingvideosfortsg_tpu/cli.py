@@ -194,6 +194,26 @@ def _submit_key(base: str) -> str:
 
 
 
+def _place_state(state, mesh, params, logger):
+    """Train-state placement: replicated (default) or ZeRO-3 sharded over
+    the data axis (``fsdp: true`` / ``--fsdp``; parallel/fsdp.py). FSDP is
+    single-controller — multi-host runs fall back to replication (the
+    host-side state would need per-process shard assembly)."""
+    if params.get('fsdp'):
+        if jax.process_count() > 1:
+            logger.warning('fsdp requested but process_count=%d > 1; '
+                           'falling back to replicated state',
+                           jax.process_count())
+        else:
+            from .parallel.fsdp import resident_state_bytes, shard_train_state
+            state = shard_train_state(state, mesh)
+            logger.info('fsdp: train state ZeRO-3-sharded over %d devices '
+                        '(%.1f MiB resident per device)', mesh.devices.size,
+                        resident_state_bytes(state) / 2**20)
+            return state
+    return replicate_tree(mesh, state)
+
+
 def _check_finite(metrics, state, saver, key, logger, epoch, idx):
     """Failure detection: a non-finite loss aborts with an emergency
     checkpoint instead of silently corrupting the run (the reference had
@@ -479,7 +499,7 @@ def main_train(params: Dict[str, Any]) -> Dict[str, Any]:
         logger.warning('resume from checkpoint: %s (reference-format=%s, '
                        'step=%s)', params['start_from'], is_ref,
                        payload.get('step'))
-    state = replicate_tree(mesh, state)
+    state = _place_state(state, mesh, params, logger)
 
     train_step = make_gmd_train_step(
         model, params, lg,
@@ -743,7 +763,7 @@ def main_train_baseline(params: Dict[str, Any]) -> Dict[str, Any]:
         logger.warning('resume from checkpoint: %s (reference-format=%s, '
                        'step=%s)', params['start_from'], is_ref,
                        payload.get('step'))
-    state = replicate_tree(mesh, state)
+    state = _place_state(state, mesh, params, logger)
 
     train_step = make_baseline_train_step(
         model, params, lg,

@@ -120,6 +120,9 @@ DEFAULTS: Dict[str, Any] = {
                                   # of f32, 1/2 of f16; dequant on device)
     "train_scan_chunk": 16,       # train steps per dispatch in bank mode
                                   # (lax.scan chunk; 1 = per-step dispatch)
+    "fsdp": False,                # ZeRO-3 state sharding: params + Adam
+                                  # moments split over the data axis
+                                  # (parallel/fsdp.py; single-controller)
     "aug_seg_len": None,          # segment length for shuffle_temporal modes
 }
 

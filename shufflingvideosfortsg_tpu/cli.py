@@ -196,33 +196,39 @@ def _submit_key(base: str) -> str:
 
 def _place_state(state, mesh, params, logger):
     """Train-state placement: replicated (default) or ZeRO-3 sharded over
-    the data axis (``fsdp: true`` / ``--fsdp``; parallel/fsdp.py). FSDP is
-    single-controller — multi-host runs fall back to replication (the
-    host-side state would need per-process shard assembly)."""
+    the data axis (``fsdp: true`` / ``--fsdp``; parallel/fsdp.py). Under
+    multi-host every process assembles its local shards from its own host
+    copy of the (identical) full state."""
     if params.get('fsdp'):
-        if jax.process_count() > 1:
-            logger.warning('fsdp requested but process_count=%d > 1; '
-                           'falling back to replicated state',
-                           jax.process_count())
-        else:
-            from .parallel.fsdp import resident_state_bytes, shard_train_state
-            state = shard_train_state(state, mesh)
-            logger.info('fsdp: train state ZeRO-3-sharded over %d devices '
-                        '(%.1f MiB resident per device)', mesh.devices.size,
-                        resident_state_bytes(state) / 2**20)
-            return state
+        from .parallel.fsdp import resident_state_bytes, shard_train_state
+        state = shard_train_state(state, mesh)
+        logger.info('fsdp: train state ZeRO-3-sharded over %d devices '
+                    '(%.1f MiB resident per device)', mesh.devices.size,
+                    resident_state_bytes(state) / 2**20)
+        return state
     return replicate_tree(mesh, state)
+
+
+def _saveable_state(state):
+    """A state jax.device_get can fetch. Multi-host FSDP shards are not
+    fully addressable, so replicate them first — gather_state is a
+    COLLECTIVE: every process must reach this call, only process 0
+    writes the file afterwards."""
+    from .parallel.fsdp import gather_state, needs_gather
+    return gather_state(state) if needs_gather(state) else state
 
 
 def _check_finite(metrics, state, saver, key, logger, epoch, idx):
     """Failure detection: a non-finite loss aborts with an emergency
     checkpoint instead of silently corrupting the run (the reference had
-    no failure handling at all — SURVEY.md §5)."""
+    no failure handling at all — SURVEY.md §5). Every process calls this
+    on the same psum-reduced metrics, so the gather inside
+    _saveable_state stays collectively consistent."""
     loss = float(metrics['loss'])
     if np.isfinite(loss):
         return
     path = saver.model_path(99999)
-    saver.save_checkpoint(path, state, key)
+    saver.save_checkpoint(path, _saveable_state(state), key)
     logger.error('non-finite loss %s at epoch %d batch %d; emergency '
                  'checkpoint saved to %s', loss, epoch, idx, path)
     raise FloatingPointError(f'non-finite loss at epoch {epoch} batch {idx}')
@@ -621,9 +627,13 @@ def main_train(params: Dict[str, Any]) -> Dict[str, Any]:
             saver.log_metrics({'epoch': step_epoch, 'phase': 'valid',
                                'miou': miou})
         if ((step_epoch + 1) % params['save_model_interval'] == 0
-                or (step_epoch + 1) == params['epoch']) and _is_proc0():
-            path = saver.save_checkpoint(step_epoch, state, key)
-            logger.info('Save model in %s', path)
+                or (step_epoch + 1) == params['epoch']):
+            # the gather (multi-host FSDP) is collective: all processes
+            # reach it; only process 0 then writes the file
+            to_save = _saveable_state(state)
+            if _is_proc0():
+                path = saver.save_checkpoint(step_epoch, to_save, key)
+                logger.info('Save model in %s', path)
 
     _stop_trace(tracing)
     _print_statistics(statistics)
@@ -814,9 +824,13 @@ def main_train_baseline(params: Dict[str, Any]) -> Dict[str, Any]:
             saver.log_metrics({'epoch': step_epoch, 'phase': 'valid',
                                'miou': miou})
         if ((step_epoch + 1) % params['save_model_interval'] == 0
-                or (step_epoch + 1) == params['epoch']) and _is_proc0():
-            path = saver.save_checkpoint(step_epoch, state, key)
-            logger.info('Save model in %s', path)
+                or (step_epoch + 1) == params['epoch']):
+            # the gather (multi-host FSDP) is collective: all processes
+            # reach it; only process 0 then writes the file
+            to_save = _saveable_state(state)
+            if _is_proc0():
+                path = saver.save_checkpoint(step_epoch, to_save, key)
+                logger.info('Save model in %s', path)
     _stop_trace(tracing)
     _print_statistics(statistics)
     return statistics

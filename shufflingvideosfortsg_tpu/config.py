@@ -122,7 +122,8 @@ DEFAULTS: Dict[str, Any] = {
                                   # (lax.scan chunk; 1 = per-step dispatch)
     "fsdp": False,                # ZeRO-3 state sharding: params + Adam
                                   # moments split over the data axis
-                                  # (parallel/fsdp.py; single-controller)
+                                  # (parallel/fsdp.py; multi-host gathers
+                                  # collectively before checkpoint writes)
     "aug_seg_len": None,          # segment length for shuffle_temporal modes
 }
 

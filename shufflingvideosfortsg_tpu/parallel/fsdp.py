@@ -24,9 +24,15 @@ the classic ZeRO-3 split, the TPU-native way:
 - Checkpointing is unchanged: ``jax.device_get`` on a sharded leaf
   gathers it, so ``utils/saver.py`` writes the same full-state file.
 
-Single-controller scope: with multiple processes the host-side numpy
-state would need ``make_array_from_process_local_data`` assembly per
-shard; the drivers fall back to replication there (cli.py guards it).
+Multi-host composes: every process holds the identical full state on
+host (same init PRNG key, or the same checkpoint payload), so
+:func:`shard_train_state` assembles global sharded arrays with
+``jax.make_array_from_callback`` — each process materializes exactly
+the shards its local devices own. Checkpointing under multi-host FSDP
+needs one extra step: a sharded global array is not fully addressable,
+so the drivers run :func:`gather_state` (a jitted identity forced to
+replicated output — a collective, called on EVERY process) before
+process 0 writes the file.
 
 Reference scope: none — the reference is single-GPU torch DataParallel
 (grounding/train.py:343). Beyond-parity scaling surface, same category
@@ -83,9 +89,45 @@ def shard_train_state(state: Any, mesh: Mesh, axis: str = DATA_AXIS,
                       min_bytes: int = FSDP_MIN_BYTES) -> Any:
     """Place a TrainState (or any state pytree) ZeRO-3-sharded: params
     and optimizer moments split over ``axis``, scalars replicated. The
-    returned state feeds the unmodified jitted train step."""
-    return jax.device_put(state, fsdp_shardings(state, mesh, axis,
-                                                min_bytes))
+    returned state feeds the unmodified jitted train step.
+
+    Multi-host: every process must hold the identical full state (true
+    for fresh inits from a shared PRNG key and for checkpoint resumes);
+    each process then materializes only its local devices' shards."""
+    shardings = fsdp_shardings(state, mesh, axis, min_bytes)
+    if jax.process_count() <= 1:
+        return jax.device_put(state, shardings)
+    host = jax.device_get(state)
+
+    def place(x, s):
+        arr = np.asarray(x)
+        return jax.make_array_from_callback(
+            arr.shape, s, lambda idx, a=arr: np.asarray(a[idx]))
+
+    return jax.tree.map(place, host, shardings)
+
+
+def needs_gather(state: Any) -> bool:
+    """True when checkpointing this state requires :func:`gather_state`
+    first (multi-host + at least one non-fully-addressable leaf)."""
+    if jax.process_count() <= 1:
+        return False
+    return any(isinstance(l, jax.Array) and not l.is_fully_addressable
+               for l in jax.tree.leaves(state))
+
+
+def gather_state(state: Any) -> Any:
+    """Replicate every leaf of a sharded state so ``jax.device_get``
+    works again (the checkpoint path). This lowers to an all-gather per
+    sharded leaf — a COLLECTIVE: under multi-host every process must
+    call it, even though only process 0 writes the file."""
+    meshes = [l.sharding.mesh for l in jax.tree.leaves(state)
+              if isinstance(l, jax.Array)
+              and isinstance(l.sharding, NamedSharding)]
+    if not meshes:
+        return state
+    repl = NamedSharding(meshes[0], P())
+    return jax.jit(lambda s: s, out_shardings=repl)(state)
 
 
 def resident_state_bytes(state: Any) -> int:

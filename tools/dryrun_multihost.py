@@ -128,23 +128,28 @@ def run_driver_worker(args):
 
     from shufflingvideosfortsg_tpu import cli
 
-    def train_once(alias, chunk, bank):
+    def train_once(alias, chunk, bank, fsdp=False):
         params = build_params(args.feat_dir)
         params.update(dict(
             train_featpath=args.pack_dir, valid_featpath=args.pack_dir,
             val_data=ANNO, device_bank=bool(bank), train_scan_chunk=chunk,
-            epoch=1, test_interval=1, save_model_interval=99,
+            fsdp=fsdp, epoch=1, test_interval=1, save_model_interval=99,
             batch_log_interval=-1, debug=True, alias=alias,
+            # attempt-suffixed so a gloo-timeout retry gets fresh run dirs
+            # (RunManager refuses alias reuse)
             runs=os.path.join(args.pack_dir,
-                              f'runs_{alias}_p{args.worker}')))
+                              f'runs_a{args.attempt}_{alias}_p{args.worker}')))
         stats = cli.main_train(params)
         return stats['loss'][0], stats['mIoU'][0]
 
     la, ma = train_once('mh_scan2', 2, True)    # chunked scan + banked eval
     lb, mb = train_once('mh_scan1', 1, True)    # per-step + banked eval
     lc, mc = train_once('mh_nobank', 1, False)  # host per-batch everything
-    print(f'MHDRV {args.worker} {la:.6f} {lb:.6f} {lc:.6f} '
-          f'{ma:.4f} {mb:.4f} {mc:.4f}', flush=True)
+    # ZeRO-3 multi-host: per-process shard assembly + collective gather
+    # before the epoch-1 checkpoint write; must equal the replicated run
+    ld, md = train_once('mh_fsdp', 2, True, fsdp=True)
+    print(f'MHDRV {args.worker} {la:.6f} {lb:.6f} {lc:.6f} {ld:.6f} '
+          f'{ma:.4f} {mb:.4f} {mc:.4f} {md:.4f}', flush=True)
 
 
 def run_oracle(args):
@@ -191,24 +196,45 @@ def run_orchestrator(args):
         env['SVTSG_PLATFORM'] = 'cpu'
         return env
 
-    coordinator = f'127.0.0.1:{_free_port()}'
-    workers = []
-    for i in range(args.num_processes):
-        cmd = [sys.executable, os.path.abspath(__file__),
-               '--worker', str(i), '--num_processes',
-               str(args.num_processes), '--coordinator', coordinator,
-               '--feat_dir', feat_dir,
-               '--local_devices', str(args.local_devices)]
-        workers.append(subprocess.Popen(cmd, env=env_for(args.local_devices),
-                                        stdout=subprocess.PIPE,
-                                        stderr=subprocess.PIPE, text=True))
-    outs = [w.communicate(timeout=900) for w in workers]
-    for w, (o, e) in zip(workers, outs):
-        if w.returncode != 0:
-            print(o)
-            print(e[-4000:])
-            print('dryrun_multihost FAILED: worker exited', w.returncode)
-            return 1
+    def spawn_workers(extra, label, attempts=3):
+        """Launch the N-process pod; retry on gloo's hard 30s KV-store
+        rendezvous timeout, which a single-core host blows whenever one
+        process out-compiles the other between collectives (environment,
+        not wiring — the XLA compile cache warms across attempts, so a
+        retry converges). Any other failure aborts immediately."""
+        for attempt in range(attempts):
+            coordinator = f'127.0.0.1:{_free_port()}'
+            procs = []
+            for i in range(args.num_processes):
+                cmd = [sys.executable, os.path.abspath(__file__),
+                       '--worker', str(i), '--num_processes',
+                       str(args.num_processes), '--coordinator', coordinator,
+                       '--feat_dir', feat_dir, '--attempt', str(attempt),
+                       '--local_devices', str(args.local_devices)] + extra
+                procs.append(subprocess.Popen(
+                    cmd, env=env_for(args.local_devices),
+                    stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                    text=True))
+            outs = [w.communicate(timeout=900) for w in procs]
+            if all(w.returncode == 0 for w in procs):
+                return outs
+            blob = ''.join(o + e for o, e in outs)
+            retryable = 'DEADLINE_EXCEEDED' in blob or 'timed out' in blob
+            if not retryable or attempt == attempts - 1:
+                for w, (o, e) in zip(procs, outs):
+                    if w.returncode != 0:
+                        print(o)
+                        print(e[-4000:])
+                        print(f'dryrun_multihost FAILED: {label} exited',
+                              w.returncode)
+                return None
+            print(f'dryrun_multihost: {label} hit the gloo rendezvous '
+                  f'timeout (attempt {attempt + 1}); retrying', flush=True)
+        return None
+
+    outs = spawn_workers([], 'worker')
+    if outs is None:
+        return 1
 
     # phase 2: the driver fast paths (chunked scan train + banked eval)
     pack_dir = os.path.join(tmp, 'pack')
@@ -217,25 +243,10 @@ def run_orchestrator(args):
          '--annotations', ANNO, '--out', pack_dir, '--t', '24', '--d',
          str(TINY['video_feature_dim']), '--dtype', 'f16'],
         check=True, capture_output=True)
-    coordinator2 = f'127.0.0.1:{_free_port()}'
-    dworkers = []
-    for i in range(args.num_processes):
-        cmd = [sys.executable, os.path.abspath(__file__),
-               '--driver-worker', '--worker', str(i), '--num_processes',
-               str(args.num_processes), '--coordinator', coordinator2,
-               '--feat_dir', feat_dir, '--pack_dir', pack_dir,
-               '--local_devices', str(args.local_devices)]
-        dworkers.append(subprocess.Popen(
-            cmd, env=env_for(args.local_devices), stdout=subprocess.PIPE,
-            stderr=subprocess.PIPE, text=True))
-    douts = [w.communicate(timeout=900) for w in dworkers]
-    for w, (o, e) in zip(dworkers, douts):
-        if w.returncode != 0:
-            print(o)
-            print(e[-4000:])
-            print('dryrun_multihost FAILED: driver worker exited',
-                  w.returncode)
-            return 1
+    douts = spawn_workers(['--driver-worker', '--pack_dir', pack_dir],
+                          'driver worker')
+    if douts is None:
+        return 1
 
     oracle = subprocess.run(
         [sys.executable, os.path.abspath(__file__), '--oracle',
@@ -270,18 +281,22 @@ def run_orchestrator(args):
 
     drv = [parse_drv(o) for o, _ in douts]
     # hosts agree with each other, and on each host: chunked-scan loss ==
-    # per-step loss == host-path loss; banked eval mIoU == host-path mIoU
+    # per-step loss == host-path loss == fsdp loss; banked eval mIoU ==
+    # host-path mIoU == fsdp mIoU
     drv_spread = max(max(r) - min(r) for r in zip(*drv))
-    la, lb, lc, ma, mb, mc = drv[0]
+    la, lb, lc, ld, ma, mb, mc, md = drv[0]
     drv_ok = (drv_spread < 1e-4
               and abs(la - lb) < 1e-4 and abs(la - lc) < 1e-3
-              and abs(ma - mb) < 1e-3 and abs(ma - mc) < 1e-2)
+              and abs(la - ld) < 1e-3
+              and abs(ma - mb) < 1e-3 and abs(ma - mc) < 1e-2
+              and abs(ma - md) < 1e-2)
     ok = ok and drv_ok
     result = {'workers': worker_losses, 'oracle': oracle_loss,
               'spread': spread, 'diff': diff,
               'driver': {'loss_scan2': la, 'loss_scan1': lb,
-                         'loss_host': lc, 'miou_scan2': ma,
-                         'miou_scan1': mb, 'miou_host': mc,
+                         'loss_host': lc, 'loss_fsdp': ld,
+                         'miou_scan2': ma, 'miou_scan1': mb,
+                         'miou_host': mc, 'miou_fsdp': md,
                          'host_spread': drv_spread, 'ok': drv_ok},
               'ok': ok}
     print('dryrun_multihost', 'ok:' if ok else 'FAILED:',
@@ -299,6 +314,7 @@ def main():
     ap.add_argument('--coordinator', default=None)
     ap.add_argument('--feat_dir', default=None)
     ap.add_argument('--pack_dir', default=None)
+    ap.add_argument('--attempt', type=int, default=0)
     args = ap.parse_args()
     if args.driver_worker:
         run_driver_worker(args)

@@ -228,7 +228,7 @@ def _check_finite(metrics, state, saver, key, logger, epoch, idx):
     if np.isfinite(loss):
         return
     path = saver.model_path(99999)
-    saver.save_checkpoint(path, _saveable_state(state), key)
+    saver.save_checkpoint(path, _saveable_state(state), key, sync=True)
     logger.error('non-finite loss %s at epoch %d batch %d; emergency '
                  'checkpoint saved to %s', loss, epoch, idx, path)
     raise FloatingPointError(f'non-finite loss at epoch {epoch} batch {idx}')
@@ -635,6 +635,7 @@ def main_train(params: Dict[str, Any]) -> Dict[str, Any]:
                 path = saver.save_checkpoint(step_epoch, to_save, key)
                 logger.info('Save model in %s', path)
 
+    saver.wait()  # drain the async checkpoint writer before returning
     _stop_trace(tracing)
     _print_statistics(statistics)
     return statistics
@@ -831,6 +832,7 @@ def main_train_baseline(params: Dict[str, Any]) -> Dict[str, Any]:
             if _is_proc0():
                 path = saver.save_checkpoint(step_epoch, to_save, key)
                 logger.info('Save model in %s', path)
+    saver.wait()  # drain the async checkpoint writer before returning
     _stop_trace(tracing)
     _print_statistics(statistics)
     return statistics

@@ -124,6 +124,10 @@ DEFAULTS: Dict[str, Any] = {
                                   # moments split over the data axis
                                   # (parallel/fsdp.py; multi-host gathers
                                   # collectively before checkpoint writes)
+    "async_checkpoint": False,    # overlap checkpoint D2H fetch + disk
+                                  # write with the next epoch (on-device
+                                  # snapshot first — donation-safe;
+                                  # utils/saver.AsyncCheckpointer)
     "aug_seg_len": None,          # segment length for shuffle_temporal modes
 }
 

@@ -19,6 +19,7 @@ import json
 import os
 import shutil
 import sys
+import threading
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -27,12 +28,82 @@ import numpy as np
 MAGIC = b'SVTSG1\n'
 
 
+def snapshot_state(state):
+    """Donation-safe, on-device snapshot of a train state.
+
+    The jitted train steps donate the state buffer (train/steps.py:122),
+    so an async writer holding the live state would read freed memory once
+    the next step dispatches. Fully-addressable leaves are copied on
+    device (HBM-bandwidth cheap, ~µs for the ~50 MB state) before the
+    writer thread takes over. Non-fully-addressable leaves (multi-host)
+    are necessarily fresh `gather_state` outputs (cli._saveable_state) —
+    never donated — and an eager copy would need every process, so they
+    pass through untouched.
+    """
+    import jax.numpy as jnp
+
+    def cp(x):
+        if isinstance(x, jax.Array) and x.is_fully_addressable:
+            return jnp.copy(x)
+        return x
+
+    return jax.tree.map(cp, state)
+
+
+class AsyncCheckpointer:
+    """Background checkpoint writer (orbax-style two-phase save).
+
+    Phase 1 (caller's thread, fast): on-device snapshot via
+    :func:`snapshot_state`. Phase 2 (writer thread): the blocking
+    device→host fetch, msgpack serialization, and the atomic file write.
+    Training resumes after phase 1 — the D2H fetch (~seconds for the full
+    state through a slow host link) and the disk write overlap the next
+    epoch instead of stalling it.
+
+    One save in flight at a time: a new save (or :meth:`wait`) joins the
+    previous writer first, and any exception it raised is re-raised on
+    the caller's thread so failures aren't silently swallowed.
+    """
+
+    def __init__(self):
+        self._thread: Optional[threading.Thread] = None
+        self._error: Optional[BaseException] = None
+
+    def save(self, path: str, state, rng_key=None) -> None:
+        self.wait()
+        snap = snapshot_state(state)
+        rng = None if rng_key is None else snapshot_state(rng_key)
+
+        def write():
+            try:
+                save_checkpoint(path, snap, rng)
+            except BaseException as e:  # surfaced by the next wait()
+                self._error = e
+
+        self._thread = threading.Thread(target=write, daemon=True,
+                                        name='svtsg-ckpt-writer')
+        self._thread.start()
+
+    def wait(self) -> None:
+        """Block until the in-flight save (if any) is durable; re-raise
+        its failure. Drivers call this before exiting and before any
+        read-back of the checkpoint they just scheduled."""
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise err
+
+
 class RunManager:
     def __init__(self, params: Dict[str, Any], allow_existing: bool = False):
         self.params = params
         self.root_folder = os.path.join(params['runs'], params['alias'])
         self.model_folder = os.path.join(self.root_folder, 'model')
         self.submits_folder = os.path.join(self.root_folder, 'submits')
+        self._async = (AsyncCheckpointer()
+                       if params.get('async_checkpoint') else None)
         # multi-host: only process 0 owns run-dir lifecycle (alias
         # strictness, params.json); other hosts just ensure the dirs exist
         # (shared filesystem) so their submit shards have a home
@@ -60,11 +131,26 @@ class RunManager:
         return os.path.join(self.model_folder,
                             '%s_%05d.ckp' % (self.params['alias'], step))
 
-    def save_checkpoint(self, path_or_step, state, rng_key=None) -> str:
+    def save_checkpoint(self, path_or_step, state, rng_key=None,
+                        sync: bool = False) -> str:
+        """Write (or, with ``async_checkpoint: true``, schedule) a
+        checkpoint. ``sync=True`` forces a blocking write regardless —
+        the emergency path (cli._check_finite) uses it because the
+        process aborts right after."""
         path = (self.model_path(path_or_step)
                 if isinstance(path_or_step, int) else path_or_step)
-        save_checkpoint(path, state, rng_key)
+        if self._async is not None and not sync:
+            self._async.save(path, state, rng_key)
+        else:
+            self.wait()  # keep write order vs any in-flight async save
+            save_checkpoint(path, state, rng_key)
         return path
+
+    def wait(self) -> None:
+        """Drain the async writer (no-op in sync mode); re-raises any
+        writer failure. Drivers call this before returning."""
+        if self._async is not None:
+            self._async.wait()
 
     def log_metrics(self, record: Dict[str, Any]) -> None:
         """Append one JSON line to <run>/metrics.jsonl (machine-readable

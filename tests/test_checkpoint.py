@@ -107,6 +107,61 @@ def test_run_manager_layout(tmp_path):
     assert rm.model_path(3).endswith('unit_x_00003.ckp')
 
 
+def test_async_checkpoint_matches_sync_and_survives_donation(tmp_path, rng):
+    """async_checkpoint writes the same payload as the sync path, and the
+    on-device snapshot (utils/saver.snapshot_state) keeps the write correct
+    even when the live state's buffers are freed right after scheduling —
+    the donated-buffer hazard of the jitted train steps (train/steps.py:122;
+    donation is a no-op on CPU, so the hazard is simulated with an explicit
+    .delete())."""
+    tree = {'a': {'kernel': jnp.array(rng.randn(64, 64), jnp.float32)},
+            'b': jnp.array(rng.randn(257), jnp.float32)}
+    tx = make_optimizer(_opt_params(), 10)
+    state = create_train_state(tree, tx)
+    state = state.apply_gradients(jax.tree_util.tree_map(jnp.ones_like, tree))
+    key = jax.random.PRNGKey(7)
+
+    sync_path = str(tmp_path / 'sync.ckp')
+    save_checkpoint(sync_path, state, key)
+
+    params = {'runs': str(tmp_path / 'runs'), 'alias': 'unit_async',
+              'val_data': 'v.json', 'test_data': 't.json',
+              'async_checkpoint': True}
+    rm = RunManager(params)
+    async_path = rm.save_checkpoint(3, state, key)
+    # free the live buffers while the writer drains: the snapshot must
+    # have decoupled the write from them
+    for leaf in jax.tree_util.tree_leaves(state):
+        if isinstance(leaf, jax.Array):
+            leaf.delete()
+    rm.wait()
+
+    a, _ = load_checkpoint(async_path)
+    s, _ = load_checkpoint(sync_path)
+    assert a['step'] == s['step']
+    np.testing.assert_array_equal(a['rng'], s['rng'])
+    for x, y in zip(jax.tree_util.tree_leaves(a['params']),
+                    jax.tree_util.tree_leaves(s['params'])):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    for x, y in zip(jax.tree_util.tree_leaves(a['opt_state']),
+                    jax.tree_util.tree_leaves(s['opt_state'])):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_async_checkpoint_wait_surfaces_writer_errors(tmp_path, rng):
+    tree = {'w': jnp.array(rng.randn(4, 4), jnp.float32)}
+    state = create_train_state(tree, make_optimizer(_opt_params(), 10))
+    params = {'runs': str(tmp_path / 'runs'), 'alias': 'unit_async_err',
+              'val_data': 'v.json', 'test_data': 't.json',
+              'async_checkpoint': True}
+    rm = RunManager(params)
+    bad = str(tmp_path / 'no_such_dir' / 'x.ckp')
+    rm.save_checkpoint(bad, state)
+    with pytest.raises(OSError):
+        rm.wait()
+    rm.wait()  # error consumed; subsequent waits are clean no-ops
+
+
 def test_run_manager_alias_reuse(tmp_path):
     params = {'runs': str(tmp_path / 'runs'), 'alias': 'keepme',
               'val_data': 'v.json', 'test_data': 't.json'}

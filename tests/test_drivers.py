@@ -79,6 +79,29 @@ def test_train_and_test_gmd_roundtrip(tiny_env):
     assert sum(len(v) for v in sub["results"].values()) == 32
 
 
+def test_async_checkpoint_driver_equals_sync(tiny_env):
+    """--async_checkpoint is a pure latency optimization: the file an
+    async run leaves behind is byte-equivalent in content to the sync
+    run's (same seed, same data), and the driver drains the writer
+    before returning so the checkpoint is durable at exit."""
+    import numpy as np
+    from shufflingvideosfortsg_tpu.utils.saver import load_checkpoint
+    make_params = tiny_env
+    params, runs = make_params("drv_sync_ck", epoch=1)
+    cli.main_train_baseline(params)
+    params2, _ = make_params("drv_async_ck", epoch=1, async_checkpoint=True)
+    cli.main_train_baseline(params2)
+    a, _ = load_checkpoint(os.path.join(
+        runs, "drv_sync_ck", "model", "drv_sync_ck_00000.ckp"))
+    b, _ = load_checkpoint(os.path.join(
+        runs, "drv_async_ck", "model", "drv_async_ck_00000.ckp"))
+    assert a["step"] == b["step"]
+    import jax
+    for x, y in zip(jax.tree_util.tree_leaves(a["params"]),
+                    jax.tree_util.tree_leaves(b["params"])):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
 def test_resume_from_checkpoint(tiny_env):
     make_params = tiny_env
     params, runs = make_params("drv_resume_a", epoch=1)

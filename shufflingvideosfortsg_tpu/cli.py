@@ -200,8 +200,11 @@ def _place_state(state, mesh, params, logger):
     multi-host every process assembles its local shards from its own host
     copy of the (identical) full state."""
     if params.get('fsdp'):
-        from .parallel.fsdp import resident_state_bytes, shard_train_state
-        state = shard_train_state(state, mesh)
+        from .parallel.fsdp import (FSDP_MIN_BYTES, resident_state_bytes,
+                                    shard_train_state)
+        state = shard_train_state(
+            state, mesh,
+            min_bytes=params.get('fsdp_min_bytes', FSDP_MIN_BYTES))
         logger.info('fsdp: train state ZeRO-3-sharded over %d devices '
                     '(%.1f MiB resident per device)', mesh.devices.size,
                     resident_state_bytes(state) / 2**20)
@@ -509,7 +512,7 @@ def main_train(params: Dict[str, Any]) -> Dict[str, Any]:
 
     train_step = make_gmd_train_step(
         model, params, lg,
-        assembler=train_bank.assemble if train_bank else None)
+        assembler=train_bank.assemble if train_bank else None, mesh=mesh)
     valid_step = make_gmd_valid_step(
         model, params, lg,
         assembler=valid_bank.assemble if valid_bank else None)
@@ -778,7 +781,7 @@ def main_train_baseline(params: Dict[str, Any]) -> Dict[str, Any]:
 
     train_step = make_baseline_train_step(
         model, params, lg,
-        assembler=train_bank.assemble if train_bank else None)
+        assembler=train_bank.assemble if train_bank else None, mesh=mesh)
     eval_step = make_baseline_eval_step(
         model, lg, assembler=valid_bank.assemble if valid_bank else None)
 

@@ -124,6 +124,9 @@ DEFAULTS: Dict[str, Any] = {
                                   # moments split over the data axis
                                   # (parallel/fsdp.py; multi-host gathers
                                   # collectively before checkpoint writes)
+    "fsdp_min_bytes": 65536,      # leaves below this stay replicated
+                                  # (sharding a [512] bias saves nothing
+                                  # and costs an all-gather dispatch)
     "async_checkpoint": False,    # overlap checkpoint D2H fetch + disk
                                   # write with the next epoch (on-device
                                   # snapshot first — donation-safe;

@@ -18,9 +18,12 @@ the classic ZeRO-3 split, the TPU-native way:
   all-gather/reduce-scatter pair replaces data parallelism's all-reduce
   at identical total bytes on a ring — ZeRO-3's bandwidth-neutrality
   argument — while per-device state residency drops n-fold.
-- Because the update is elementwise over leaves, the output state keeps
-  the input sharding with no forced ``out_shardings``; steps chain (and
-  ``lax.scan`` chunked training composes) without re-placement.
+- The train steps pin the post-update state to this placement with one
+  ``with_sharding_constraint`` (:func:`state_constrainer`): the
+  elementwise update propagates the input sharding today, but output
+  placement is otherwise emergent compiler behavior, not a contract.
+  Pinned, steps chain (and ``lax.scan`` chunked training composes)
+  without re-placement.
 - Checkpointing is unchanged: ``jax.device_get`` on a sharded leaf
   gathers it, so ``utils/saver.py`` writes the same full-state file.
 
@@ -105,6 +108,32 @@ def shard_train_state(state: Any, mesh: Mesh, axis: str = DATA_AXIS,
             arr.shape, s, lambda idx, a=arr: np.asarray(a[idx]))
 
     return jax.tree.map(place, host, shardings)
+
+
+def state_constrainer(params: dict, mesh: Mesh | None,
+                      axis: str = DATA_AXIS,
+                      min_bytes: int = FSDP_MIN_BYTES):
+    """``None`` unless FSDP is on; else a function that pins a state tree
+    to its FSDP placement *inside jit* (``with_sharding_constraint``).
+
+    Without the pin, XLA's output-sharding propagation chooses the
+    updated state's placement: the elementwise update (sharded param ×
+    replicated grad) propagates the sharding today, but that is emergent
+    compiler behavior, not a contract — a propagation change would
+    silently undo ZeRO-3 after the first step while the loss stayed
+    correct. The train steps apply this to the post-``apply_gradients``
+    state so placement is guaranteed on both the per-step path and the
+    chunked ``lax.scan`` carry."""
+    if not (params.get('fsdp') and mesh is not None
+            and mesh.devices.size > 1):
+        return None
+    min_bytes = params.get('fsdp_min_bytes', min_bytes)
+
+    def constrain(state):
+        return jax.lax.with_sharding_constraint(
+            state, fsdp_shardings(state, mesh, axis, min_bytes))
+
+    return constrain
 
 
 def needs_gather(state: Any) -> bool:

@@ -54,11 +54,14 @@ class JittedStep:
 
 
 def make_gmd_train_step(model, params: Dict[str, Any],
-                        lg_frame2sec: bool = False, assembler=None):
+                        lg_frame2sec: bool = False, assembler=None,
+                        mesh=None):
     m1 = float(params['loss_m1_lambda'])
     m2 = float(params['loss_m2_lambda'])
     md = float(params['loss_disc_lambda'])
     on_device_aug = bool(params.get('on_device_aug', True))
+    from ..parallel.fsdp import state_constrainer
+    constrain = state_constrainer(params, mesh)
 
     def loss_fn(p, batch, pseudo, dropout_key):
         out = model.apply(
@@ -114,6 +117,8 @@ def make_gmd_train_step(model, params: Dict[str, Any],
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (_, aux), grads = grad_fn(state.params, batch, pseudo, dropout_key)
         state = state.apply_gradients(grads)
+        if constrain is not None:  # FSDP: pin the ZeRO-3 placement
+            state = constrain(state)
         _, _, miou = _stats(aux.pop('start_prob'), aux.pop('end_prob'),
                             batch, lg_frame2sec)
         aux['miou'] = miou
@@ -192,7 +197,11 @@ def make_gmd_test_step(model, lg_frame2sec: bool = False, assembler=None):
 # ---------------------------------------------------------------------------
 
 def make_baseline_train_step(model, params: Dict[str, Any],
-                             lg_frame2sec: bool = False, assembler=None):
+                             lg_frame2sec: bool = False, assembler=None,
+                             mesh=None):
+    from ..parallel.fsdp import state_constrainer
+    constrain = state_constrainer(params, mesh)
+
     def train_step(state: TrainState, batch, key):
         if assembler is not None:
             batch = assembler(batch)
@@ -208,6 +217,8 @@ def make_baseline_train_step(model, params: Dict[str, Any],
         (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params)
         state = state.apply_gradients(grads)
+        if constrain is not None:  # FSDP: pin the ZeRO-3 placement
+            state = constrain(state)
         _, _, miou = _stats(out['start_prob'], out['end_prob'], batch,
                             lg_frame2sec)
         return state, {'loss': loss, 'miou': miou}

@@ -70,11 +70,16 @@ def setup():
     variables = jax.device_get(variables)
     tx = make_optimizer(params, steps_per_epoch=10)
     step = make_gmd_train_step(model, params)
+    # the FSDP step pins the ZeRO-3 placement on its output state
+    # (parallel/fsdp.state_constrainer inside the step body); the plain
+    # step stays the unconstrained replicated oracle
+    fstep = make_gmd_train_step(
+        model, dict(params, fsdp=True, fsdp_min_bytes=0), mesh=mesh)
 
     def fresh():
         return create_train_state(variables['params'], tx)
 
-    return mesh, params, step, fresh
+    return mesh, params, step, fstep, fresh
 
 
 def _run(step, state, mesh, n_steps=3):
@@ -106,7 +111,7 @@ def test_sharding_rule():
 
 
 def test_fsdp_state_is_sharded_and_smaller(setup):
-    mesh, params, step, fresh = setup
+    mesh, params, step, fstep, fresh = setup
     repl = replicate_tree(mesh, fresh())
     shrd = shard_train_state(fresh(), mesh, min_bytes=0)
     specs = [leaf.sharding.spec for leaf in jax.tree.leaves(shrd.params)
@@ -125,10 +130,10 @@ def test_fsdp_state_is_sharded_and_smaller(setup):
 
 
 def test_fsdp_training_equals_replicated(setup):
-    mesh, params, step, fresh = setup
+    mesh, params, step, fstep, fresh = setup
     state_r, metrics_r = _run(step, replicate_tree(mesh, fresh()), mesh)
-    state_f, metrics_f = _run(step, shard_train_state(fresh(), mesh,
-                                                      min_bytes=0), mesh)
+    state_f, metrics_f = _run(fstep, shard_train_state(fresh(), mesh,
+                                                       min_bytes=0), mesh)
     np.testing.assert_allclose(float(metrics_f['loss']),
                                float(metrics_r['loss']), rtol=1e-5)
     for (pa, a), (pb, b) in zip(
@@ -148,15 +153,15 @@ def test_fsdp_composes_with_chunked_scan(setup):
     """cli's chunked-scan training (K steps per dispatch via lax.scan over
     the step body) must preserve FSDP placement across the scan carry and
     match the per-step FSDP path bit-for-bit (same key-split chain)."""
-    mesh, params, step, fresh = setup
-    state_s, _ = _run(step, shard_train_state(fresh(), mesh, min_bytes=0),
+    mesh, params, step, fstep, fresh = setup
+    state_s, _ = _run(fstep, shard_train_state(fresh(), mesh, min_bytes=0),
                       mesh, n_steps=3)
 
     sharding = NamedSharding(mesh, P(None, DATA_AXIS))
     stacked = {k: jax.device_put(np.stack([_batch(i)[k] for i in range(3)]),
                                  sharding)
                for k in _batch(0)}
-    inner = step.inner
+    inner = fstep.inner
 
     @jax.jit
     def run_chunk(state, key, batches):
@@ -187,8 +192,8 @@ def test_fsdp_composes_with_chunked_scan(setup):
 def test_fsdp_checkpoint_roundtrip(setup, tmp_path):
     from shufflingvideosfortsg_tpu.utils.saver import (load_checkpoint,
                                                        save_checkpoint)
-    mesh, params, step, fresh = setup
-    state, _ = _run(step, shard_train_state(fresh(), mesh, min_bytes=0),
+    mesh, params, step, fstep, fresh = setup
+    state, _ = _run(fstep, shard_train_state(fresh(), mesh, min_bytes=0),
                     mesh, n_steps=1)
     path = str(tmp_path / 'fsdp.ckp')
     save_checkpoint(path, state, jax.random.PRNGKey(3))

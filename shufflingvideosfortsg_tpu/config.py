@@ -127,6 +127,14 @@ DEFAULTS: Dict[str, Any] = {
     "fsdp_min_bytes": 65536,      # leaves below this stay replicated
                                   # (sharding a [512] bias saves nothing
                                   # and costs an all-gather dispatch)
+    "grad_accum_steps": 1,        # microbatches per optimizer update
+                                  # (lax.scan inside the jitted step:
+                                  # activation memory is one micro-
+                                  # batch's; batch_size must divide)
+    "disc_dropout": 0.5,          # TOD head dropout — the reference
+                                  # hardcodes p=0.5 (TemporalOrder-
+                                  # Discriminator.py:23); exposed so
+                                  # deterministic runs can zero it
     "async_checkpoint": False,    # overlap checkpoint D2H fetch + disk
                                   # write with the next epoch (on-device
                                   # snapshot first — donation-safe;

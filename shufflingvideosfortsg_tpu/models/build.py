@@ -61,6 +61,7 @@ def build_model(params: Dict[str, Any], kind: str = 'gmd',
             m_temp_layers=2,
             m_pred_hidden=params['m_pred_hidden'],
             m_pred_activ=params['m_pred_activ'],
+            disc_dropout=float(params.get('disc_dropout', 0.5)),
             **cfg)
     if kind.lower() in ('baseline', 'qave'):
         return Baseline(**cfg)

@@ -591,9 +591,12 @@ class VideoTextSemanticMatch(nn.Module):
 class MomentPoolingTOD(nn.Module):
     """Masked mean-pool of target/fore/back regions -> shared fore/back MLP
     -> 2-way original-vs-pseudo classifier (TemporalOrderDiscriminator.py:
-    15-45). Trained jointly (no gradient reversal)."""
+    15-45). Trained jointly (no gradient reversal). ``dropout`` defaults to
+    the reference's hardcoded p=0.5 (TemporalOrderDiscriminator.py:23);
+    configurable so deterministic-training tests can switch it off."""
     visual_dim: int
     dtype: Any = jnp.float32
+    dropout: float = 0.5
 
     @staticmethod
     def average_mask(feat: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
@@ -611,5 +614,6 @@ class MomentPoolingTOD(nn.Module):
         fore_feat = jax.nn.relu(foreback(jnp.concatenate([fore, target], axis=-1)))
         back_feat = jax.nn.relu(foreback(jnp.concatenate([target, back], axis=-1)))
         concat = jnp.concatenate([target, fore_feat, back_feat], axis=-1)
-        concat = nn.Dropout(rate=0.5)(concat, deterministic=deterministic)
+        concat = nn.Dropout(rate=self.dropout)(concat,
+                                               deterministic=deterministic)
         return TDense(2, dtype=self.dtype, name='classifier')(concat)

@@ -45,6 +45,7 @@ class GMD(nn.Module):
     m_pred_activ: str = 'relu'
     # regularization / dtype
     dropout: float = 0.5
+    disc_dropout: float = 0.5  # TOD head dropout; reference hardcodes 0.5
     dtype: Any = jnp.float32
     # Pallas fused LSTM recurrence: False | 'eval' | 'train'
     fused_inference: Any = False
@@ -68,7 +69,8 @@ class GMD(nn.Module):
             self.m_temp, self.m_temp_hidden, self.m_temp_layers,
             self.m_pred_hidden, self.m_pred_activ, self.dropout,
             dtype=self.dtype, fused=self.fused_inference)
-        self.tod = MomentPoolingTOD(self.video_hidden * 2, dtype=self.dtype)
+        self.tod = MomentPoolingTOD(self.video_hidden * 2, dtype=self.dtype,
+                                    dropout=self.disc_dropout)
 
     def __call__(self, query_feat: jnp.ndarray, query_mask: jnp.ndarray,
                  ori_video_feat: jnp.ndarray, ori_video_mask: jnp.ndarray,

@@ -36,6 +36,56 @@ def _stats(start_prob, end_prob, batch, lg_frame2sec: bool):
 
 
 
+# batch keys the GMD loss consumes — the only ones split into microbatches
+# (the rest, e.g. nfeats/duration/timestps, are used by full-batch stats)
+_GMD_LOSS_KEYS = ('sent_feat', 'sent_mask', 'video_feat', 'video_mask',
+                  'temporal_labels', 'fore_masks', 'back_masks', 'framestps')
+
+
+def _accumulate_grads(grad_fn, model_params, batch, pseudo, dropout_key,
+                      accum, keys=_GMD_LOSS_KEYS):
+    """Gradient accumulation: ``accum`` microbatches per optimizer update,
+    inside the jitted step (``lax.scan``, so activation memory is one
+    microbatch's — the TPU-native way to raise the effective batch past
+    HBM). Grad = mean of microbatch grads; the loss is therefore the mean
+    of microbatch losses — exact for the per-sample-mean terms (grounding
+    NLL, KL, TOD) and the standard accumulation semantics for the
+    mask-count-normalized BCE (identical when microbatch mask counts are
+    equal). Dropout draws a fresh key per microbatch — with any live
+    dropout (incl. the TOD head's reference-mandated p=0.5,
+    ``disc_dropout``) the accumulated update therefore matches the
+    full-batch one in distribution, not bitwise. Requires the global
+    batch divisible by ``accum`` (and each microbatch by the data-mesh
+    size when sharded)."""
+    b = next(iter(pseudo.values())).shape[0] if pseudo else \
+        batch[keys[0]].shape[0]
+    if b % accum:
+        raise ValueError(f'grad_accum_steps={accum} must divide the batch '
+                         f'size ({b})')
+
+    def mb(x):
+        return x.reshape((accum, x.shape[0] // accum) + x.shape[1:])
+
+    b_mb = {k: mb(batch[k]) for k in keys if k in batch}
+    p_mb = jax.tree.map(mb, pseudo)
+    mkeys = jax.random.split(dropout_key, accum)
+    zero = jax.tree.map(jnp.zeros_like, model_params)
+
+    def body(acc, xs):
+        bk, pk, k = xs
+        (_, aux_i), g = grad_fn(model_params, bk, pk, k)
+        return jax.tree.map(jnp.add, acc, g), aux_i
+
+    grads, auxs = jax.lax.scan(body, zero, (b_mb, p_mb, mkeys))
+    grads = jax.tree.map(lambda g: g / accum, grads)
+    # scalars (stacked [accum]) average; per-sample outputs (e.g. the
+    # [accum, B/accum, T] span probs) flatten back to the full batch
+    aux = {k: (v.mean() if v.ndim == 1
+               else v.reshape((-1,) + v.shape[2:]))
+           for k, v in auxs.items()}
+    return grads, aux
+
+
 class JittedStep:
     """A jitted step that also exposes its traceable body (``inner``) so
     drivers can embed it inside a whole-epoch/chunked ``lax.scan``
@@ -60,6 +110,7 @@ def make_gmd_train_step(model, params: Dict[str, Any],
     m2 = float(params['loss_m2_lambda'])
     md = float(params['loss_disc_lambda'])
     on_device_aug = bool(params.get('on_device_aug', True))
+    accum = int(params.get('grad_accum_steps', 1) or 1)
     from ..parallel.fsdp import state_constrainer
     constrain = state_constrainer(params, mesh)
 
@@ -115,7 +166,12 @@ def make_gmd_train_step(model, params: Dict[str, Any],
                       'fore_masks': batch['pseudo_fore_masks'],
                       'back_masks': batch['pseudo_back_masks']}
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-        (_, aux), grads = grad_fn(state.params, batch, pseudo, dropout_key)
+        if accum > 1:
+            grads, aux = _accumulate_grads(grad_fn, state.params, batch,
+                                           pseudo, dropout_key, accum)
+        else:
+            (_, aux), grads = grad_fn(state.params, batch, pseudo,
+                                      dropout_key)
         state = state.apply_gradients(grads)
         if constrain is not None:  # FSDP: pin the ZeRO-3 placement
             state = constrain(state)
@@ -201,27 +257,35 @@ def make_baseline_train_step(model, params: Dict[str, Any],
                              mesh=None):
     from ..parallel.fsdp import state_constrainer
     constrain = state_constrainer(params, mesh)
+    accum = int(params.get('grad_accum_steps', 1) or 1)
+    mb_keys = ('video_feat', 'sent_feat', 'video_mask', 'sent_mask',
+               'framestps')
+
+    def loss_fn(p, mbatch, _pseudo, k):
+        out = model.apply({'params': p}, mbatch['video_feat'],
+                          mbatch['sent_feat'], mbatch['video_mask'],
+                          mbatch['sent_mask'], deterministic=False,
+                          rngs={'dropout': k})
+        loss_g = span_ground_loss(out['start_prob'], out['end_prob'],
+                                  mbatch['framestps'])
+        return loss_g, {'loss': loss_g, 'start_prob': out['start_prob'],
+                        'end_prob': out['end_prob']}
 
     def train_step(state: TrainState, batch, key):
         if assembler is not None:
             batch = assembler(batch)
-
-        def loss_fn(p):
-            out = model.apply({'params': p}, batch['video_feat'],
-                              batch['sent_feat'], batch['video_mask'],
-                              batch['sent_mask'], deterministic=False,
-                              rngs={'dropout': key})
-            loss_g = span_ground_loss(out['start_prob'], out['end_prob'],
-                                      batch['framestps'])
-            return loss_g, out
-        (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        if accum > 1:
+            grads, aux = _accumulate_grads(grad_fn, state.params, batch,
+                                           {}, key, accum, keys=mb_keys)
+        else:
+            (_, aux), grads = grad_fn(state.params, batch, {}, key)
         state = state.apply_gradients(grads)
         if constrain is not None:  # FSDP: pin the ZeRO-3 placement
             state = constrain(state)
-        _, _, miou = _stats(out['start_prob'], out['end_prob'], batch,
-                            lg_frame2sec)
-        return state, {'loss': loss, 'miou': miou}
+        _, _, miou = _stats(aux.pop('start_prob'), aux.pop('end_prob'),
+                            batch, lg_frame2sec)
+        return state, {'loss': aux['loss'], 'miou': miou}
 
     return JittedStep(train_step, donate_argnums=(0,))
 

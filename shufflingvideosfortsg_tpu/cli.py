@@ -35,9 +35,9 @@ from .models import build_model
 from .parallel.mesh import (OutputAccumulator, create_mesh, device_prefetch,
                             replicate_tree, shard_batch)
 from .train.state import create_train_state, make_optimizer
-from .train.steps import (make_baseline_eval_step, make_baseline_train_step,
-                          make_gmd_test_step, make_gmd_train_step,
-                          make_gmd_valid_step)
+from .train.steps import (JittedStep, make_baseline_eval_step,
+                          make_baseline_train_step, make_gmd_test_step,
+                          make_gmd_train_step, make_gmd_valid_step)
 from .utils.saver import (RunManager, latest_checkpoint, load_checkpoint,
                           restore_train_state)
 
@@ -235,6 +235,65 @@ def _check_finite(metrics, state, saver, key, logger, epoch, idx):
     logger.error('non-finite loss %s at epoch %d batch %d; emergency '
                  'checkpoint saved to %s', loss, epoch, idx, path)
     raise FloatingPointError(f'non-finite loss at epoch {epoch} batch {idx}')
+
+
+def _multiseed_validate(params) -> int:
+    """Check --multi_seed combinations up front (called by the train
+    mains BEFORE any checkpoint is touched, so the error beats a
+    missing-file one). Returns S (0/1 = off)."""
+    S = int(params.get('multi_seed', 0) or 0)
+    if S <= 1:
+        return S
+    if params.get('fsdp'):
+        raise ValueError('--multi_seed does not compose with --fsdp: the '
+                         'stacked seed axis changes every leaf shape the '
+                         'ZeRO-3 placement rule keys on')
+    if params.get('start_from'):
+        raise ValueError('--multi_seed cannot resume (--start_from): '
+                         'checkpoints are written per seed; restart the '
+                         'study or train the single seed you want')
+    return S
+
+
+def _multiseed_setup(params, state, train_step, init_fn, tx, logger):
+    """``--multi_seed S``: train S independent seeds vmapped inside ONE
+    jitted step (train/multiseed.py). Seed 0 keeps the single-seed run's
+    init key (fold_in(init_key, 0) is NOT used — the unstacked run and
+    seed 0 are the same model); seeds 1..S-1 fold their index into the
+    init key. The wrapped step keeps the single-seed (state, batch, key)
+    -> (state, scalar-metrics) contract by seed-MEANING the metrics, so
+    the chunked-scan path, logging, and the NaN watchdog (a NaN in any
+    seed propagates through the mean) all compose untouched. Per-seed
+    numbers surface where they matter: validation and checkpoints.
+
+    Returns (state, train_step, S) with S == 0 when off."""
+    S = _multiseed_validate(params)
+    if S <= 1:
+        return state, train_step, 0
+    import jax.numpy as jnp
+    from .train.multiseed import make_multiseed_train_step, stack_states
+    states = [state] + [create_train_state(init_fn(i), tx)
+                        for i in range(1, S)]
+    state = stack_states(states)
+    inner = make_multiseed_train_step(train_step, S).inner
+
+    def mean_step(st, batch, key):
+        st, m = inner(st, batch, key)
+        return st, {k: jnp.mean(v, axis=0) for k, v in m.items()}
+
+    logger.info('multi-seed: %d seeds stacked, one vmapped train step; '
+                'validation and checkpoints run per seed', S)
+    return state, JittedStep(mean_step, donate_argnums=(0,)), S
+
+
+def _multiseed_save(saver, saveable, step_epoch, key, logger, n_seeds):
+    """Per-seed checkpoint slices: alias_EEEEE_s{i}.ckp, each loadable by
+    the test drivers' --start_from."""
+    from .train.multiseed import unstack_state
+    for i in range(n_seeds):
+        path = saver.model_path(step_epoch).replace('.ckp', f'_s{i}.ckp')
+        saver.save_checkpoint(path, unstack_state(saveable, i), key)
+        logger.info('Save model in %s', path)
 
 
 # ---------------------------------------------------------------------------
@@ -469,6 +528,7 @@ def _eval_epoch(step, model_params, loader, bank, mesh, key=None):
 
 def main_train(params: Dict[str, Any]) -> Dict[str, Any]:
     logger = setup_logger(params['alias'])
+    _multiseed_validate(params)
     allow_existing, start_epoch = _resolve_auto_resume(params)
     saver = RunManager(params, allow_existing=allow_existing)
     mesh = create_mesh(params.get('mesh_shape'))
@@ -516,6 +576,13 @@ def main_train(params: Dict[str, Any]) -> Dict[str, Any]:
     valid_step = make_gmd_valid_step(
         model, params, lg,
         assembler=valid_bank.assemble if valid_bank else None)
+    state, train_step, n_seeds = _multiseed_setup(
+        params, state, train_step,
+        lambda i: init_model_params(
+            model, params, jax.random.fold_in(init_key, i), 'gmd'),
+        tx, logger)
+    if n_seeds:
+        state = replicate_tree(mesh, state)
     chunk = int(params.get('train_scan_chunk', 16))
     run_chunk = None
     if train_bank is not None and chunk > 1:
@@ -622,21 +689,42 @@ def main_train(params: Dict[str, Any]) -> Dict[str, Any]:
         if (step_epoch + 1) % params['test_interval'] == 0:
             # fork the key so validation's aug draws never alias the
             # training stream
-            miou = run_valid(valid_step, state, valid_loader, valid_set,
-                             params, logger, step_epoch, saver, mesh,
-                             jax.random.fold_in(key, 0x5a11d),
-                             bank=valid_bank)
+            vkey = jax.random.fold_in(key, 0x5a11d)
+            if n_seeds:
+                from .train.multiseed import unstack_state
+                per_seed = [
+                    run_valid(valid_step, unstack_state(state, i),
+                              valid_loader, valid_set, params, logger,
+                              step_epoch, saver, mesh, vkey,
+                              bank=valid_bank, submit_suffix=f'.s{i}')
+                    for i in range(n_seeds)]
+                miou = float(np.mean(per_seed))
+                logger.info('multi-seed valid: miou per seed %s, '
+                            'mean %0.4f, std %0.4f',
+                            ['%.4f' % m for m in per_seed], miou,
+                            float(np.std(per_seed)))
+                saver.log_metrics({'epoch': step_epoch, 'phase': 'valid',
+                                   'miou': miou,
+                                   'miou_per_seed': per_seed})
+            else:
+                miou = run_valid(valid_step, state, valid_loader,
+                                 valid_set, params, logger, step_epoch,
+                                 saver, mesh, vkey, bank=valid_bank)
+                saver.log_metrics({'epoch': step_epoch, 'phase': 'valid',
+                                   'miou': miou})
             statistics['mIoU'][step_epoch] = round(miou * 100, 2)
-            saver.log_metrics({'epoch': step_epoch, 'phase': 'valid',
-                               'miou': miou})
         if ((step_epoch + 1) % params['save_model_interval'] == 0
                 or (step_epoch + 1) == params['epoch']):
             # the gather (multi-host FSDP) is collective: all processes
             # reach it; only process 0 then writes the file
             to_save = _saveable_state(state)
             if _is_proc0():
-                path = saver.save_checkpoint(step_epoch, to_save, key)
-                logger.info('Save model in %s', path)
+                if n_seeds:
+                    _multiseed_save(saver, to_save, step_epoch, key,
+                                    logger, n_seeds)
+                else:
+                    path = saver.save_checkpoint(step_epoch, to_save, key)
+                    logger.info('Save model in %s', path)
 
     saver.wait()  # drain the async checkpoint writer before returning
     _stop_trace(tracing)
@@ -645,7 +733,8 @@ def main_train(params: Dict[str, Any]) -> Dict[str, Any]:
 
 
 def run_valid(valid_step, state, loader, dataset, params, logger, epoch,
-              saver: Optional[RunManager], mesh, key, bank=None) -> float:
+              saver: Optional[RunManager], mesh, key, bank=None,
+              submit_suffix: str = '') -> float:
     pred_dict = _new_pred_dict(params)
     t0 = time.time()
     host_batches, fetched = _eval_epoch(valid_step, state.params, loader,
@@ -659,7 +748,8 @@ def run_valid(valid_step, state, loader, dataset, params, logger, epoch,
         _collect_predictions(pred_dict, batch, fetched['pred_time'][i],
                              fetched['score'][i])
     if saver is not None:
-        saver.save_submits(pred_dict, epoch, _submit_key('val_data'))
+        saver.save_submits(pred_dict, epoch,
+                           _submit_key('val_data') + submit_suffix)
     miou = _avg(all_metrics, 'miou')
     logger.info('epoch [%03d]: elapsed time:%0.4fs, avg loss: %03.3f, '
                 'miou: %03.3f avg loss_g: %03.3f, avg loss_m1: %03.3f, '
@@ -742,6 +832,7 @@ def main_test(params: Dict[str, Any]) -> str:
 
 def main_train_baseline(params: Dict[str, Any]) -> Dict[str, Any]:
     logger = setup_logger(params['alias'])
+    _multiseed_validate(params)
     allow_existing, start_epoch = _resolve_auto_resume(params)
     saver = RunManager(params, allow_existing=allow_existing)
     mesh = create_mesh(params.get('mesh_shape'))
@@ -784,6 +875,13 @@ def main_train_baseline(params: Dict[str, Any]) -> Dict[str, Any]:
         assembler=train_bank.assemble if train_bank else None, mesh=mesh)
     eval_step = make_baseline_eval_step(
         model, lg, assembler=valid_bank.assemble if valid_bank else None)
+    state, train_step, n_seeds = _multiseed_setup(
+        params, state, train_step,
+        lambda i: init_model_params(
+            model, params, jax.random.fold_in(init_key, i), 'baseline'),
+        tx, logger)
+    if n_seeds:
+        state = replicate_tree(mesh, state)
 
     tracing = _start_trace_if_requested()
     statistics = {'loss': {}, 'mIoU': {}}
@@ -821,20 +919,44 @@ def main_train_baseline(params: Dict[str, Any]) -> Dict[str, Any]:
         if (step_epoch + 1) % params['test_interval'] == 0 or step_epoch == 0:
             statistics['loss'][step_epoch] = round(avg_loss, 3)
         if (step_epoch + 1) % params['test_interval'] == 0:
-            miou = run_eval_collect(eval_step, state.params, valid_loader,
-                                    params, logger, step_epoch, saver, mesh,
-                                    'val_data', bank=valid_bank)
+            if n_seeds:
+                from .train.multiseed import unstack_state
+                per_seed = [
+                    run_eval_collect(eval_step,
+                                     unstack_state(state, i).params,
+                                     valid_loader, params, logger,
+                                     step_epoch, saver, mesh, 'val_data',
+                                     bank=valid_bank,
+                                     submit_suffix=f'.s{i}')
+                    for i in range(n_seeds)]
+                miou = float(np.mean(per_seed))
+                logger.info('multi-seed valid: miou per seed %s, '
+                            'mean %0.4f, std %0.4f',
+                            ['%.4f' % m for m in per_seed], miou,
+                            float(np.std(per_seed)))
+                saver.log_metrics({'epoch': step_epoch, 'phase': 'valid',
+                                   'miou': miou,
+                                   'miou_per_seed': per_seed})
+            else:
+                miou = run_eval_collect(eval_step, state.params,
+                                        valid_loader, params, logger,
+                                        step_epoch, saver, mesh,
+                                        'val_data', bank=valid_bank)
+                saver.log_metrics({'epoch': step_epoch, 'phase': 'valid',
+                                   'miou': miou})
             statistics['mIoU'][step_epoch] = round(miou * 100, 2)
-            saver.log_metrics({'epoch': step_epoch, 'phase': 'valid',
-                               'miou': miou})
         if ((step_epoch + 1) % params['save_model_interval'] == 0
                 or (step_epoch + 1) == params['epoch']):
             # the gather (multi-host FSDP) is collective: all processes
             # reach it; only process 0 then writes the file
             to_save = _saveable_state(state)
             if _is_proc0():
-                path = saver.save_checkpoint(step_epoch, to_save, key)
-                logger.info('Save model in %s', path)
+                if n_seeds:
+                    _multiseed_save(saver, to_save, step_epoch, key,
+                                    logger, n_seeds)
+                else:
+                    path = saver.save_checkpoint(step_epoch, to_save, key)
+                    logger.info('Save model in %s', path)
     saver.wait()  # drain the async checkpoint writer before returning
     _stop_trace(tracing)
     _print_statistics(statistics)
@@ -842,7 +964,8 @@ def main_train_baseline(params: Dict[str, Any]) -> Dict[str, Any]:
 
 
 def run_eval_collect(eval_step, model_params, loader, params, logger, epoch,
-                     saver, mesh, submit_key, bank=None) -> float:
+                     saver, mesh, submit_key, bank=None,
+                     submit_suffix: str = '') -> float:
     pred_dict = _new_pred_dict(params)
     t0 = time.time()
     host_batches, fetched = _eval_epoch(eval_step, model_params, loader,
@@ -853,7 +976,8 @@ def run_eval_collect(eval_step, model_params, loader, params, logger, epoch,
         _collect_predictions(pred_dict, batch, fetched['pred_time'][i],
                              fetched['score'][i])
     if saver is not None:
-        saver.save_submits(pred_dict, epoch, _submit_key(submit_key))
+        saver.save_submits(pred_dict, epoch,
+                           _submit_key(submit_key) + submit_suffix)
     miou = float(np.mean(mious))
     logger.info('epoch [%03d]: elapsed time:%0.4fs, avg loss: %03.3f, '
                 'miou: %03.3f', epoch, time.time() - t0,

@@ -127,6 +127,10 @@ DEFAULTS: Dict[str, Any] = {
     "fsdp_min_bytes": 65536,      # leaves below this stay replicated
                                   # (sharding a [512] bias saves nothing
                                   # and costs an all-gather dispatch)
+    "multi_seed": 0,              # train S seeds vmapped in ONE jitted
+                                  # step (0/1 = off). Per-seed val +
+                                  # checkpoints (_s{i}.ckp); excludes
+                                  # --fsdp / --start_from
     "grad_accum_steps": 1,        # microbatches per optimizer update
                                   # (lax.scan inside the jitted step:
                                   # activation memory is one micro-

@@ -308,3 +308,55 @@ def test_int8_bank_driver_roundtrip(pack_env):
             agree += bool(np.allclose(a["timestamp"], b["timestamp"],
                                       atol=1e-4))
     assert agree >= 0.75 * rows
+
+
+def test_multiseed_gmd_driver(tiny_env):
+    """--multi_seed 2 through the real GMD train driver: one vmapped step
+    trains both seeds; validation runs per seed (distinct submit files),
+    checkpoints land per seed and feed the unchanged test driver; the
+    two seeds end with different parameters (independent inits)."""
+    import jax
+    from shufflingvideosfortsg_tpu.utils.saver import load_checkpoint
+    make_params = tiny_env
+    params, runs = make_params("drv_ms", multi_seed=2)
+    stats = cli.main_train(params)
+    assert 0 in stats["mIoU"]
+    c0 = os.path.join(runs, "drv_ms", "model", "drv_ms_00000_s0.ckp")
+    c1 = os.path.join(runs, "drv_ms", "model", "drv_ms_00000_s1.ckp")
+    assert os.path.isfile(c0) and os.path.isfile(c1)
+    subs = os.listdir(os.path.join(runs, "drv_ms", "submits"))
+    assert any(s.endswith(".s0.json") for s in subs)
+    assert any(s.endswith(".s1.json") for s in subs)
+
+    a, _ = load_checkpoint(c0)
+    b, _ = load_checkpoint(c1)
+    assert any(
+        not np.array_equal(np.asarray(x), np.asarray(y))
+        for x, y in zip(jax.tree_util.tree_leaves(a["params"]),
+                       jax.tree_util.tree_leaves(b["params"])))
+
+    tparams, _ = make_params("test_drv_ms", start_from=c1)
+    submit = cli.main_test(tparams)
+    sub = json.load(open(submit))
+    assert sum(len(v) for v in sub["results"].values()) == 32
+
+
+def test_multiseed_excludes_fsdp_and_resume(tiny_env):
+    make_params = tiny_env
+    params, _ = make_params("drv_ms_fsdp", multi_seed=2, fsdp=True)
+    with pytest.raises(ValueError, match="fsdp"):
+        cli.main_train(params)
+    params2, _ = make_params("drv_ms_rs", multi_seed=2,
+                             start_from="whatever.ckp")
+    with pytest.raises(ValueError, match="resume"):
+        cli.main_train(params2)
+
+
+def test_multiseed_baseline_driver(tiny_env):
+    make_params = tiny_env
+    params, runs = make_params("drv_ms_base", multi_seed=2)
+    stats = cli.main_train_baseline(params)
+    assert 0 in stats["mIoU"]
+    for i in (0, 1):
+        assert os.path.isfile(os.path.join(
+            runs, "drv_ms_base", "model", f"drv_ms_base_00000_s{i}.ckp"))

@@ -148,19 +148,27 @@ def init_model_params(model, params, key, kind: str):
     return variables['params']
 
 
-def _collect_predictions(pred_dict, batch, pred_time, score):
+def _collect_predictions(pred_dict, batch, pred_time, score,
+                         pred_topk=None, score_topk=None):
     n = batch['n_valid']
     ts = np.asarray(batch['timestps'])
     dur = np.asarray(batch['duration'])
     for i in range(n):
         vid = batch['vid'][i]
-        pred_dict['results'].setdefault(vid, []).append({
+        entry = {
             'sentence': batch['sentence'][i],
             'timestamp': pred_time[i].tolist(),
             'gt_timestamp': ts[i].tolist(),
             'score': float(score[i]),
             'video_duration': float(dur[i]),
-        })
+        }
+        if pred_topk is not None:
+            # beyond-parity R@k proposals (eval_topk > 1); finite-score
+            # rows only — NMS pads an exhausted pool with -inf repeats
+            keep = np.isfinite(np.asarray(score_topk[i]))
+            entry['timestamps_topk'] = np.asarray(pred_topk[i])[keep].tolist()
+            entry['scores_topk'] = np.asarray(score_topk[i])[keep].tolist()
+        pred_dict['results'].setdefault(vid, []).append(entry)
 
 
 def _new_pred_dict(params):
@@ -801,8 +809,10 @@ def main_test(params: Dict[str, Any]) -> str:
                        params['start_from'], is_ref)
     model_params = replicate_tree(mesh, model_params)
 
+    topk = int(params.get('eval_topk', 1) or 1)
     test_step = make_gmd_test_step(
-        model, lg, assembler=test_bank.assemble if test_bank else None)
+        model, lg, assembler=test_bank.assemble if test_bank else None,
+        topk=topk, topk_nms_iou=float(params.get('topk_nms_iou', 0.5)))
     pred_dict = _new_pred_dict(params)
     t0 = time.time()
     host_batches, fetched = _eval_epoch(test_step, model_params,
@@ -812,9 +822,11 @@ def main_test(params: Dict[str, Any]) -> str:
                       (time.time() - t0) / max(len(host_batches), 1))
     losses = [float(x) for x in fetched['loss']]
     mious = [float(x) for x in fetched['miou']]
-    for batch, pt, sc in zip(host_batches, fetched['pred_time'],
-                             fetched['score']):
-        _collect_predictions(pred_dict, batch, pt, sc)
+    for i, batch in enumerate(host_batches):
+        _collect_predictions(
+            pred_dict, batch, fetched['pred_time'][i], fetched['score'][i],
+            pred_topk=fetched['pred_time_topk'][i] if topk > 1 else None,
+            score_topk=fetched['score_topk'][i] if topk > 1 else None)
     submit = saver.save_submits(pred_dict, 0, _submit_key('test_data'))
     logger.info('epoch [%03d]: elapsed time:%0.4fs, avg loss: %03.3f, '
                 'miou: %03.3f', 0, time.time() - t0,
@@ -1011,8 +1023,10 @@ def main_test_baseline(params: Dict[str, Any]) -> str:
                        params['start_from'], is_ref)
     model_params = replicate_tree(mesh, model_params)
 
+    topk = int(params.get('eval_topk', 1) or 1)
     eval_step = make_baseline_eval_step(
-        model, lg, assembler=test_bank.assemble if test_bank else None)
+        model, lg, assembler=test_bank.assemble if test_bank else None,
+        topk=topk, topk_nms_iou=float(params.get('topk_nms_iou', 0.5)))
     pred_dict = _new_pred_dict(params)
     t0 = time.time()
     host_batches, fetched = _eval_epoch(eval_step, model_params,
@@ -1020,8 +1034,10 @@ def main_test_baseline(params: Dict[str, Any]) -> str:
     losses = [float(x) for x in fetched['loss']]
     mious = [float(x) for x in fetched['miou']]
     for i, batch in enumerate(host_batches):
-        _collect_predictions(pred_dict, batch, fetched['pred_time'][i],
-                             fetched['score'][i])
+        _collect_predictions(
+            pred_dict, batch, fetched['pred_time'][i], fetched['score'][i],
+            pred_topk=fetched['pred_time_topk'][i] if topk > 1 else None,
+            score_topk=fetched['score_topk'][i] if topk > 1 else None)
     submit = saver.save_submits(pred_dict, 0, _submit_key('test_data'))
     logger.info('epoch [%03d]: elapsed time:%0.4fs, avg loss: %03.3f, '
                 'miou: %03.3f', 0, time.time() - t0,

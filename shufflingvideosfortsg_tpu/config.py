@@ -144,6 +144,14 @@ DEFAULTS: Dict[str, Any] = {
                                   # snapshot first — donation-safe;
                                   # utils/saver.AsyncCheckpointer)
     "aug_seg_len": None,          # segment length for shuffle_temporal modes
+    "eval_topk": 1,               # >1: test drivers also decode the top-k
+                                  # NMS span proposals per sentence into the
+                                  # submit file ("timestamps_topk"); the
+                                  # evaluator then prints R@k rows below the
+                                  # unchanged R@1 table (beyond parity —
+                                  # the reference decodes only the argmax
+                                  # span, grounding/loss.py:53-70)
+    "topk_nms_iou": 0.5,          # greedy-NMS IoU threshold for eval_topk
 }
 
 

@@ -66,6 +66,64 @@ def _collect(pred_dict: dict) -> Tuple[np.ndarray, np.ndarray]:
     return np.asarray(gts, dtype=float), np.asarray(preds, dtype=float)
 
 
+def _collect_topk(pred_dict: dict) -> Tuple[np.ndarray, np.ndarray, int]:
+    """Aligned gt [N,2] and ragged top-k proposals padded to [N,K,2].
+
+    Entries with fewer than K proposals (NMS exhausted the pool) repeat
+    their last proposal, which leaves every max-over-first-r metric
+    unchanged. Returns K=0 when no entry carries proposals.
+    """
+    gts: List[Sequence[float]] = []
+    topks: List[List[Sequence[float]]] = []
+    for _vid, entries in pred_dict["results"].items():
+        for result in entries:
+            gts.append(result["gt_timestamp"][:2])
+            tk = result.get("timestamps_topk")
+            topks.append([t[:2] for t in tk] if tk else
+                         [result["timestamp"][:2]])
+    K = max(len(t) for t in topks) if topks else 0
+    if K <= 1:
+        return np.asarray(gts, dtype=float), np.zeros((0, 0, 2)), 0
+    padded = [t + [t[-1]] * (K - len(t)) for t in topks]
+    return (np.asarray(gts, dtype=float),
+            np.asarray(padded, dtype=float), K)
+
+
+def evaluate_topk(pred_dict: dict,
+                  tiou_thresholds: Sequence[float] = TIOU_THRESHOLDS
+                  ) -> Dict[int, Dict[str, float]]:
+    """R@k rows from a prediction dict whose entries carry
+    ``timestamps_topk`` (written by the test drivers under
+    ``--eval_topk K``). Beyond-parity: the reference evaluates R@1 only.
+
+    For each rank r: ``R{r}@t`` counts sentences where ANY of the first r
+    proposals clears ``iou > t``; ``mIoU`` is the mean best IoU over the
+    first r proposals ("oracle" mIoU). Rank 1 equals the standard table
+    when proposal 1 is the argmax span (NMS keeps it first).
+    Returns {rank: {mIoU, R@t..., recall_fractions}} or {} if no entry
+    has proposals.
+    """
+    gts, topk, K = _collect_topk(pred_dict)
+    if not K:
+        return {}
+    ious = np.stack([batched_segment_iou(gts, topk[:, r]) for r in range(K)],
+                    axis=1)  # [N, K]
+    best = np.maximum.accumulate(ious, axis=1)  # best IoU over first r
+    total = len(gts)
+    out: Dict[int, Dict[str, float]] = {}
+    for r in range(1, K + 1):
+        row: Dict[str, float] = {}
+        fracs = []
+        for t in tiou_thresholds:
+            frac = float(np.count_nonzero(best[:, r - 1] > t)) / total
+            fracs.append(frac)
+            row[f"R{r}@{t}"] = round(frac * 100, 2)
+        row["mIoU"] = round(float(best[:, r - 1].mean()) * 100, 2)
+        row["recall_fractions"] = fracs  # type: ignore[assignment]
+        out[r] = row
+    return out
+
+
 def evaluate_predictions(pred_dict: dict,
                          tiou_thresholds: Sequence[float] = TIOU_THRESHOLDS
                          ) -> Dict[str, float]:
@@ -110,5 +168,16 @@ def retrieval_eval(filename: str, quiet: bool = False) -> Dict[str, float]:
         print('\n => ')
         recalls = [round(f * 100, 2) for f in metrics["recall_fractions"]]  # type: ignore[index]
         print(1, '\t', miou, '\t', '\t'.join(str(r) for r in recalls))
+        # beyond-parity R@k rows (same row shape, rank in column 1; the
+        # mIoU column is the best-of-first-k "oracle" mIoU) — printed only
+        # when the submit file carries --eval_topk proposals, so default
+        # output stays byte-identical to the reference's
+        topk_rows = evaluate_topk(pred_dict)
+        for r in sorted(topk_rows):
+            if r == 1:
+                continue
+            row = topk_rows[r]
+            recs = [round(f * 100, 2) for f in row["recall_fractions"]]  # type: ignore[index]
+            print(r, '\t', row["mIoU"], '\t', '\t'.join(str(x) for x in recs))
         print('mIoU\t{:.4f}'.format(miou))
     return metrics

@@ -14,7 +14,7 @@ Usage:
 from __future__ import annotations
 
 import functools
-from typing import Dict, Optional, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import numpy as np
 
@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from .models import build_model
-from .ops.span import span_decode
+from .ops.span import span_decode, span_topk_nms
 from .parallel.mesh import batch_sharding, create_mesh, replicated_sharding
 
 
@@ -92,9 +92,26 @@ class MultiQueryGrounder:
         self._serve_tokens = _serve_tokens
         self._serve_multi = _serve_multi
         self._serve_multi_tokens = _serve_multi_tokens
+        self._serve_topk_cache: Dict[Tuple[int, float], Any] = {}
         self._resident_rnn0: Optional[jnp.ndarray] = None
         self._resident_bank: Optional[jnp.ndarray] = None
         self._resident_emb: Optional[jnp.ndarray] = None
+
+    def _serve_topk_fn(self, k: int, nms_iou: float):
+        """Jitted top-k serve, cached per (k, nms_iou) — k is static."""
+        key = (int(k), float(nms_iou))
+        if key not in self._serve_topk_cache:
+            model = self.model
+
+            @jax.jit
+            def _serve_topk(p, rnn0, queries):
+                out = model.apply({'params': p}, rnn0, queries,
+                                  method=model.serve_cached)
+                return span_topk_nms(out['start_prob'], out['end_prob'],
+                                     key[0], iou_threshold=key[1])
+
+            self._serve_topk_cache[key] = _serve_topk
+        return self._serve_topk_cache[key]
 
     def set_vocab(self, embeddings: np.ndarray) -> None:
         """Pin the GloVe matrix [V_words, 300] on device so queries can be
@@ -314,6 +331,35 @@ class MultiQueryGrounder:
                                      qsharding)
             pred, score = self._serve(self.model_params,
                                       self._resident_rnn0, queries)
+            preds.append(np.asarray(pred)[:n])
+            scores.append(np.asarray(score)[:n])
+        return np.concatenate(preds), np.concatenate(scores)
+
+    def ground_topk(self, sent_feats: np.ndarray, k: int = 5,
+                    nms_iou: float = 0.5) -> Tuple[np.ndarray, np.ndarray]:
+        """Top-k NMS span proposals per query against the resident video.
+
+        Beyond-parity multi-proposal serving: returns (spans [Q, k, 2]
+        int32, scores [Q, k] f32) ordered by score; suppressed/exhausted
+        tail entries repeat the last kept span with score -inf. Proposal 1
+        equals :meth:`ground`'s span. The decode is the blockwise
+        ``span_topk_nms`` (O(row_block·T) memory), so long resident
+        videos never materialize a T×T matrix per query."""
+        assert self._resident_rnn0 is not None, 'no video set'
+        serve = self._serve_topk_fn(k, nms_iou)
+        Q, qb = sent_feats.shape[0], self.query_batch
+        preds, scores = [], []
+        qsharding = batch_sharding(self.mesh)
+        for i in range(0, Q, qb):
+            chunk = sent_feats[i:i + qb]
+            n = len(chunk)
+            if n < qb:
+                pad = np.repeat(chunk[-1:], qb - n, axis=0)
+                chunk = np.concatenate([chunk, pad], axis=0)
+            queries = jax.device_put(jnp.asarray(chunk, jnp.float32),
+                                     qsharding)
+            pred, score = serve(self.model_params, self._resident_rnn0,
+                                queries)
             preds.append(np.asarray(pred)[:n])
             scores.append(np.asarray(score)[:n])
         return np.concatenate(preds), np.concatenate(scores)

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from ..ops.augment_device import gt_translate_batch
 from ..ops.losses import (bce_loss, masked_softmax, matching_kl_divergence,
                           span_ground_loss, temporal_order_discrimination_loss)
-from ..ops.span import compute_mean_iou, span_decode
+from ..ops.span import compute_mean_iou, span_decode, span_topk_nms
 from .state import TrainState
 
 
@@ -32,6 +32,18 @@ def _stats(start_prob, end_prob, batch, lg_frame2sec: bool):
             * batch['duration'][:, None].astype(jnp.float32)
     miou = compute_mean_iou(pred_f, batch['timestps'])
     return pred_f, score, miou
+
+
+def _topk_stats(start_prob, end_prob, batch, lg_frame2sec: bool, k: int,
+                nms_iou: float):
+    """Top-k NMS proposals in prediction time units (beyond-parity R@k)."""
+    spans, scores = span_topk_nms(start_prob, end_prob, k,
+                                  iou_threshold=nms_iou)
+    spans_f = spans.astype(jnp.float32)
+    if lg_frame2sec:
+        scale = (batch['duration'] / batch['nfeats'].astype(jnp.float32))
+        spans_f = spans_f * scale[:, None, None].astype(jnp.float32)
+    return spans_f, scores
 
 
 
@@ -229,8 +241,12 @@ def make_gmd_valid_step(model, params: Dict[str, Any],
     return JittedStep(valid_step)
 
 
-def make_gmd_test_step(model, lg_frame2sec: bool = False, assembler=None):
-    """Single-video inference (test.py:104-124): eval_forward + decode."""
+def make_gmd_test_step(model, lg_frame2sec: bool = False, assembler=None,
+                       topk: int = 1, topk_nms_iou: float = 0.5):
+    """Single-video inference (test.py:104-124): eval_forward + decode.
+
+    ``topk > 1`` additionally decodes the top-k NMS proposals per sentence
+    (beyond parity; the R@1 outputs are unchanged)."""
 
     def test_step(p, batch):
         if assembler is not None:
@@ -242,8 +258,13 @@ def make_gmd_test_step(model, lg_frame2sec: bool = False, assembler=None):
                                   batch['framestps'])
         pred_f, score, miou = _stats(out['start_prob'], out['end_prob'],
                                      batch, lg_frame2sec)
-        return {'loss': loss_g, 'miou': miou, 'pred_time': pred_f,
-                'score': score}
+        res = {'loss': loss_g, 'miou': miou, 'pred_time': pred_f,
+               'score': score}
+        if topk > 1:
+            res['pred_time_topk'], res['score_topk'] = _topk_stats(
+                out['start_prob'], out['end_prob'], batch, lg_frame2sec,
+                topk, topk_nms_iou)
+        return res
 
     return JittedStep(test_step)
 
@@ -291,7 +312,8 @@ def make_baseline_train_step(model, params: Dict[str, Any],
 
 
 def make_baseline_eval_step(model, lg_frame2sec: bool = False,
-                            assembler=None):
+                            assembler=None, topk: int = 1,
+                            topk_nms_iou: float = 0.5):
     def eval_step(p, batch):
         if assembler is not None:
             batch = assembler(batch)
@@ -302,7 +324,12 @@ def make_baseline_eval_step(model, lg_frame2sec: bool = False,
                                   batch['framestps'])
         pred_f, score, miou = _stats(out['start_prob'], out['end_prob'],
                                      batch, lg_frame2sec)
-        return {'loss': loss_g, 'miou': miou, 'pred_time': pred_f,
-                'score': score}
+        res = {'loss': loss_g, 'miou': miou, 'pred_time': pred_f,
+               'score': score}
+        if topk > 1:
+            res['pred_time_topk'], res['score_topk'] = _topk_stats(
+                out['start_prob'], out['end_prob'], batch, lg_frame2sec,
+                topk, topk_nms_iou)
+        return res
 
     return JittedStep(eval_step)

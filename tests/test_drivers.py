@@ -360,3 +360,32 @@ def test_multiseed_baseline_driver(tiny_env):
     for i in (0, 1):
         assert os.path.isfile(os.path.join(
             runs, "drv_ms_base", "model", f"drv_ms_base_00000_s{i}.ckp"))
+
+
+def test_eval_topk_driver(tiny_env):
+    """--eval_topk K: submit entries carry top-k NMS proposals; the R@k
+    evaluator's rank-1 row reproduces the standard table and recalls are
+    monotone in k."""
+    make_params = tiny_env
+    params, runs = make_params("drv_topk")
+    cli.main_train(params)
+    ckpt = os.path.join(runs, "drv_topk", "model", "drv_topk_00000.ckp")
+    tparams, _ = make_params("test_drv_topk", start_from=ckpt, eval_topk=5)
+    submit = cli.main_test(tparams)
+    sub = json.load(open(submit))
+    first = next(iter(sub["results"].values()))[0]
+    assert "timestamps_topk" in first
+    assert 1 <= len(first["timestamps_topk"]) <= 5
+    assert first["timestamps_topk"][0] == first["timestamp"]
+
+    from shufflingvideosfortsg_tpu.eval.iou import (evaluate_predictions,
+                                                    evaluate_topk)
+    base = evaluate_predictions(sub)
+    rows = evaluate_topk(sub)
+    assert rows
+    assert rows[1]["mIoU"] == base["mIoU"]
+    for t in (0.1, 0.3, 0.5, 0.7, 0.9):
+        assert rows[1][f"R1@{t}"] == base[f"R1@{t}"]
+        ks = sorted(rows)
+        vals = [rows[k][f"R{k}@{t}"] for k in ks]
+        assert all(b >= a for a, b in zip(vals, vals[1:]))

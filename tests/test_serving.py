@@ -334,3 +334,32 @@ def test_int8_corpus_bank_close_to_raw(model_and_params, rng, tmp_path):
     p_sh, s_sh = g8s.ground_bank(queries, ids)
     np.testing.assert_array_equal(p_sh, p_i8)
     np.testing.assert_allclose(s_sh, s_i8, rtol=1e-5, atol=1e-6)
+
+
+def test_ground_topk(model_and_params, rng):
+    """ground_topk: rank-1 equals ground's span; proposals respect NMS."""
+    model, params = model_and_params
+    cfg = dict(sent_rnn_hiddendim=8, sent_rnn_layers=1,
+               video_encoder='query_aware_encoder', video_rnn_hiddendim=8,
+               video_rnn_layers=1, crossmodal='vs', predictor='mlp',
+               mlp_hidden_dim=8, span_hidden_dim=8, mask=False, dropout=0.0,
+               m_temp='none', m_pred_hidden=16, m_pred_activ='relu',
+               precision='f32', mesh_shape=[8])
+    g = MultiQueryGrounder(cfg, params, query_batch=8)
+    video = rng.randn(T, DV).astype(np.float32)
+    queries = rng.randn(11, N, 300).astype(np.float32)  # 1 full + 1 partial
+    pred1, score1 = g.ground(video, queries)
+    spans, scores = g.ground_topk(queries, k=4, nms_iou=0.5)
+    assert spans.shape == (11, 4, 2) and scores.shape == (11, 4)
+    np.testing.assert_array_equal(spans[:, 0], pred1)
+    np.testing.assert_allclose(scores[:, 0], score1, rtol=1e-5, atol=1e-6)
+    # kept proposals are mutually <= 0.5 IoU
+    for q in range(11):
+        kept = spans[q][np.isfinite(scores[q])].astype(float)
+        for i in range(len(kept)):
+            for j in range(i + 1, len(kept)):
+                s1, e1 = kept[i]
+                s2, e2 = kept[j]
+                inter = max(0.0, min(e1, e2) - max(s1, s2))
+                union = (e1 - s1) + (e2 - s2) - inter
+                assert inter / (union + 1e-4) <= 0.5 + 1e-6

@@ -91,7 +91,17 @@ def export_grounder(grounder, out_dir: str,
 
     exported_names = []
     for name, spec in specs.items():
-        exp = jax_export.export(fns[name], **kw)(*spec)
+        try:
+            exp = jax_export.export(fns[name], **kw)(*spec)
+        except ValueError as err:
+            if "interpret mode" in str(err) or "pallas" in str(err).lower():
+                raise ValueError(
+                    "cross-platform export requires the pure-XLA recurrence: "
+                    "build the grounder with fused_inference=False in its "
+                    "config (the Pallas kernel has no CPU lowering); "
+                    "tools/export_serving.py does this automatically when "
+                    "--platforms is given") from err
+            raise
         with open(os.path.join(out_dir, f"{name}.stablehlo"), "wb") as f:
             f.write(exp.serialize())
         exported_names.append(name)

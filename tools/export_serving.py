@@ -63,6 +63,14 @@ def main():
             m_temp=params['m_temp']))
     print(f'checkpoint: {args.ckpt} (reference-format={is_ref})')
 
+    platforms = args.platforms.split(',') if args.platforms else None
+    if platforms:
+        # cross-platform lowering cannot use the TPU Pallas recurrence
+        # (no CPU lowering) — portable artifacts take the XLA scan path
+        params = dict(params, fused_inference=False)
+        print('portable artifact: Pallas recurrence disabled '
+              '(fused_inference=False)')
+
     g = MultiQueryGrounder(params, payload['params'],
                            query_batch=args.query_batch)
     T = args.video_len or int(params['video_len'])
@@ -78,7 +86,6 @@ def main():
     else:
         print('no vocab bundled (feature-query serving only)')
 
-    platforms = args.platforms.split(',') if args.platforms else None
     manifest = export_grounder(g, args.out, platforms=platforms)
     size = sum(os.path.getsize(os.path.join(args.out, f))
                for f in os.listdir(args.out))

@@ -189,6 +189,10 @@ def _greedy_nms(cand: jnp.ndarray, cand_scores: jnp.ndarray, k: int,
         union = (e - s) + (be - bs) - inter
         iou = inter / (union + DELTA)
         alive = alive & (iou <= iou_threshold)
+        # The selected candidate is always consumed: a zero-length span
+        # ([t, t]) has self-IoU 0/(0+DELTA) = 0 and would otherwise stay
+        # alive and be re-selected on every subsequent step.
+        alive = alive & (jnp.arange(P)[None, :] != best[:, None])
         span = jnp.concatenate([bs, be], axis=1).astype(jnp.int32)
         return (alive,), (span, best_score)
 

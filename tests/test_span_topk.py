@@ -106,6 +106,27 @@ def test_nms_suppresses_overlaps(rng):
         assert (np.diff(fin) <= 1e-6).all()
 
 
+def test_nms_zero_length_best_is_consumed():
+    """A zero-length best span ([t, t], self-IoU 0/(0+DELTA)=0) must still
+    be consumed by the greedy loop, not re-selected on every step."""
+    T = 16
+    start = np.full((1, T), 1e-3, np.float32)
+    end = np.full((1, T), 1e-3, np.float32)
+    start[0, 5] = 0.9   # argmax span is exactly [5, 5]
+    end[0, 5] = 0.9
+    start[0, 1] = 0.5
+    end[0, 12] = 0.5
+    spans, scores = span_topk_nms(jnp.array(start), jnp.array(end), k=4,
+                                  iou_threshold=0.5)
+    spans = np.asarray(spans)
+    scores = np.asarray(scores)
+    assert (spans[0, 0] == [5, 5]).all()
+    # finite-score proposals are all distinct (s, e) cells
+    fin = [tuple(spans[0, i]) for i in range(4) if np.isfinite(scores[0, i])]
+    assert len(fin) >= 2
+    assert len(set(fin)) == len(fin)
+
+
 def test_nms_exhausted_pool_repeats_last():
     # One dominant span; tiny pool so suppression exhausts it.
     T = 16

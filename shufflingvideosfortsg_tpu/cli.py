@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import argparse
 import functools
+import json
 import logging
 import os
 import time
@@ -199,6 +200,16 @@ def _submit_key(base: str) -> str:
     if jax.process_count() > 1:
         return f'{base}.part{jax.process_index()}'
     return base
+
+
+def _write_metrics_json(submit: str, metrics: Dict[str, float]) -> str:
+    """Persist the test drivers' retrieval_eval table beside the submit
+    file (<submit>.metrics.json) so downstream tooling (tools/
+    run_learning.py) reads the scores instead of re-scoring the JSON."""
+    path = submit + '.metrics.json'
+    with open(path, 'w') as f:
+        json.dump(metrics, f)
+    return path
 
 
 
@@ -834,7 +845,7 @@ def main_test(params: Dict[str, Any]) -> str:
     # on a multi-host run each shard's table covers this host's stripe;
     # merge the .partN submit shards offline (tools/merge_submits.py) for
     # the global table
-    retrieval_eval(submit)
+    _write_metrics_json(submit, retrieval_eval(submit))
     return submit
 
 
@@ -1042,5 +1053,5 @@ def main_test_baseline(params: Dict[str, Any]) -> str:
     logger.info('epoch [%03d]: elapsed time:%0.4fs, avg loss: %03.3f, '
                 'miou: %03.3f', 0, time.time() - t0,
                 float(np.mean(losses)), float(np.mean(mious)))
-    retrieval_eval(submit)
+    _write_metrics_json(submit, retrieval_eval(submit))
     return submit

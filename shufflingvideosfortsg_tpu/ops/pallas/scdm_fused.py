@@ -67,6 +67,12 @@ def scdm_attention_fused(video_proj: jnp.ndarray, sent_proj: jnp.ndarray,
     N = sent_proj.shape[1]
     Ds = sent_feat.shape[-1]
     assert B % block_b == 0
+    # keep w >= 2-D: a 1-D operand picks up a leading batch axis under
+    # jax.vmap (the multi-seed trainer vmaps this whole kernel over the
+    # seed axis) and the resulting [S, Dh] block (Squeezed, Dh) violates
+    # the Mosaic (8, 128)-tiling rule; [1, Dh] batches to a valid
+    # [S, 1, Dh] block instead
+    w = w.reshape(1, -1)
     # the statically-unrolled N-loop keeps several [bb, bt, Dh] activation
     # temporaries live on the kernel stack; halve the time tile for f32 so
     # the scoped-VMEM total stays under the 16MB budget

@@ -119,6 +119,43 @@ def test_vmapped_equals_sequential(setup):
                                        err_msg=f'seed {seed}: {pa}')
 
 
+def test_multiseed_fsdp_rejected():
+    """--multi_seed + --fsdp is a documented exclusion (docs/SCALING.md
+    composition matrix): the stacked seed axis changes every leaf shape
+    the ZeRO-3 placement rule keys on. The driver must refuse loudly up
+    front, before any checkpoint or data is touched."""
+    from shufflingvideosfortsg_tpu.cli import _multiseed_validate
+    with pytest.raises(ValueError, match='multi_seed does not compose'):
+        _multiseed_validate(dict(multi_seed=4, fsdp=True))
+    with pytest.raises(ValueError, match='cannot resume'):
+        _multiseed_validate(dict(multi_seed=4, start_from='x.ckp'))
+    assert _multiseed_validate(dict(multi_seed=4)) == 4
+    assert _multiseed_validate(dict(multi_seed=0, fsdp=True)) == 0
+
+
+def test_vmapped_fused_scdm(rng):
+    """jax.vmap over a leading seed axis of the fused SCDM kernel (what
+    the multi-seed trainer does to every pallas_call in the train step)
+    must equal the per-seed unbatched kernel. Regression: the 1-D ``w``
+    operand used to batch to an [S, Dh] block that violates Mosaic's
+    (8, 128) tiling rule on real TPU."""
+    from jax.experimental.pallas import tpu as pltpu
+    from shufflingvideosfortsg_tpu.ops.attention import scdm_attention
+    from shufflingvideosfortsg_tpu.ops.pallas.scdm_fused import (
+        scdm_attention_fused)
+    S, Bb, Tt, Dh, Nn, Ds = 3, 8, 16, 32, 5, 24
+    vp = rng.randn(S, Bb, Tt, Dh).astype(np.float32)
+    sp = rng.randn(S, Bb, Nn, Dh).astype(np.float32)
+    w = rng.randn(S, Dh).astype(np.float32)
+    sf = rng.randn(S, Bb, Nn, Ds).astype(np.float32)
+    with pltpu.force_tpu_interpret_mode():
+        got = jax.vmap(lambda a, b, c, d: scdm_attention_fused(
+            a, b, c, d, block_b=8))(vp, sp, w, sf)
+    want = jax.vmap(scdm_attention)(vp, sp, w, sf)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_multiseed_valid_step(setup):
     params, model, init_fn, tx, step = setup
     vstep = make_gmd_valid_step(model, params)

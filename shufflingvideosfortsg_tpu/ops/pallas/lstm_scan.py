@@ -31,10 +31,35 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+from jax import custom_batching
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NBUF = 3  # xw prefetch depth (VMEM budget: NBUF*2*B*4H*2B <= ~6MB at B=512)
+
+
+def _seq_vmap(impl, **static_kwargs):
+    """Make a manual-DMA pallas_call entry point vmap-safe.
+
+    ``jax.vmap`` over a pallas_call normally batches by adding a grid
+    dimension, but Mosaic rejects the resulting non-trivial index maps
+    on ANY-memory-space (HBM) operands — exactly what these kernels use
+    for their streamed sequences. The multi-seed trainer
+    (train/multiseed.py) vmaps the whole train step over a stacked seed
+    axis, so without this every LSTM call under multi-seed fails to
+    lower on TPU.
+
+    ``sequential_vmap`` replaces that batching rule with a ``lax.map``
+    over the un-batched kernel: each seed runs the full fused kernel,
+    one after another, inside the one jitted step. AD never reaches
+    these wrappers (``lstm_flat_fused``'s custom_vjp intercepts above
+    them), so custom_vmap's no-differentiation limitation is moot.
+
+    One wrapper per static-flag combination is built at import (the
+    flags select distinct traced programs).
+    """
+    return custom_batching.sequential_vmap(
+        functools.partial(impl, **static_kwargs))
 
 
 def _lstm_kernel(xw_hbm, w_hh_ref, out_hbm, hc_out_ref,
@@ -226,18 +251,10 @@ def _lstm_kernel_flat(xw_hbm, w_hh_ref, out_hbm, hc_out_ref,
     hc_out_ref[1] = c_ref[:]
 
 
-@functools.partial(jax.jit, static_argnames=('interpret',))
-def lstm_scan_pallas_flat(xw_flat: jnp.ndarray, w_hh: jnp.ndarray,
-                          interpret: bool = False
-                          ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Run the fused recurrence on flat-layout projections.
-
-    xw_flat: [T, B, 8H] — row t holds [fwd proj(t) + b_fwd | bwd proj(t)
-    + b_bwd] from ONE [B*T, D] @ [D, 8H] matmul (no stacked/reversed
-    operand); w_hh: [2, H, 4H]. Returns (out [T, B, 2H] with row t =
-    [h_fwd(t) | h_bwd(t)], h_T [2, B, H] f32, c_T [2, B, H] f32) — the
-    bwd halves are in natural time order (no reversal needed outside).
-    """
+def _lstm_scan_pallas_flat_impl(xw_flat: jnp.ndarray, w_hh: jnp.ndarray,
+                                interpret: bool = False
+                                ) -> Tuple[jnp.ndarray, jnp.ndarray,
+                                           jnp.ndarray]:
     T, B, H8 = xw_flat.shape
     H = H8 // 8
     out, hc = pl.pallas_call(
@@ -276,6 +293,25 @@ def lstm_scan_pallas_flat(xw_flat: jnp.ndarray, w_hh: jnp.ndarray,
         interpret=interpret,
     )(xw_flat, w_hh)
     return out, hc[0], hc[1]
+
+
+_flat_sv = {i: _seq_vmap(_lstm_scan_pallas_flat_impl, interpret=i)
+            for i in (False, True)}
+
+
+@functools.partial(jax.jit, static_argnames=('interpret',))
+def lstm_scan_pallas_flat(xw_flat: jnp.ndarray, w_hh: jnp.ndarray,
+                          interpret: bool = False
+                          ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Run the fused recurrence on flat-layout projections.
+
+    xw_flat: [T, B, 8H] — row t holds [fwd proj(t) + b_fwd | bwd proj(t)
+    + b_bwd] from ONE [B*T, D] @ [D, 8H] matmul (no stacked/reversed
+    operand); w_hh: [2, H, 4H]. Returns (out [T, B, 2H] with row t =
+    [h_fwd(t) | h_bwd(t)], h_T [2, B, H] f32, c_T [2, B, H] f32) — the
+    bwd halves are in natural time order (no reversal needed outside).
+    """
+    return _flat_sv[bool(interpret)](xw_flat, w_hh)
 
 
 def _lstm_kernel_train(xw_hbm, w_hh_ref, out_hbm, c_hbm, hc_out_ref,
@@ -462,18 +498,9 @@ def _lstm_bwd_kernel(xw_hbm, w_hh_ref, h_hbm, c_hbm, dout_hbm, dhc_ref,
     dw_out_ref[:] = dw_acc[:]
 
 
-@functools.partial(jax.jit, static_argnames=('interpret', 'gates_bf16'))
-def lstm_scan_pallas(xw: jnp.ndarray, w_hh: jnp.ndarray,
-                     interpret: bool = False, gates_bf16: bool = False
-                     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Run the fused recurrence.
-
-    xw: [T, 2, B, 4H] (input projections + bias, direction 1 already
-    time-reversed; bf16 recommended — it halves the streamed bytes);
-    w_hh: [2, H, 4H] (bf16 recommended). Carries accumulate in f32.
-    Returns (out [T, 2, B, H] in xw.dtype, h_T [2, B, H] f32,
-    c_T [2, B, H] f32).
-    """
+def _lstm_scan_pallas_impl(xw: jnp.ndarray, w_hh: jnp.ndarray,
+                           interpret: bool = False, gates_bf16: bool = False
+                           ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     T, two, B, H4 = xw.shape
     H = H4 // 4
     assert two == 2
@@ -513,10 +540,27 @@ def lstm_scan_pallas(xw: jnp.ndarray, w_hh: jnp.ndarray,
     return out, hc[0], hc[1]
 
 
-@functools.partial(jax.jit, static_argnames=('interpret',))
-def lstm_scan_pallas_train(xw, w_hh, interpret: bool = False):
-    """Forward that also returns the per-step cell states (residuals for
-    the backward kernel). Returns (out, c_seq, h_T, c_T)."""
+_scan_sv = {(i, g): _seq_vmap(_lstm_scan_pallas_impl, interpret=i,
+                              gates_bf16=g)
+            for i in (False, True) for g in (False, True)}
+
+
+@functools.partial(jax.jit, static_argnames=('interpret', 'gates_bf16'))
+def lstm_scan_pallas(xw: jnp.ndarray, w_hh: jnp.ndarray,
+                     interpret: bool = False, gates_bf16: bool = False
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Run the fused recurrence.
+
+    xw: [T, 2, B, 4H] (input projections + bias, direction 1 already
+    time-reversed; bf16 recommended — it halves the streamed bytes);
+    w_hh: [2, H, 4H] (bf16 recommended). Carries accumulate in f32.
+    Returns (out [T, 2, B, H] in xw.dtype, h_T [2, B, H] f32,
+    c_T [2, B, H] f32).
+    """
+    return _scan_sv[(bool(interpret), bool(gates_bf16))](xw, w_hh)
+
+
+def _lstm_scan_pallas_train_impl(xw, w_hh, interpret: bool = False):
     T, two, B, H4 = xw.shape
     H = H4 // 4
     out, c_seq, hc = pl.pallas_call(
@@ -551,14 +595,21 @@ def lstm_scan_pallas_train(xw, w_hh, interpret: bool = False):
     return out, c_seq, hc[0], hc[1]
 
 
+_train_sv = {i: _seq_vmap(_lstm_scan_pallas_train_impl, interpret=i)
+             for i in (False, True)}
+
+
 @functools.partial(jax.jit, static_argnames=('interpret',))
-def lstm_scan_pallas_bwd(xw, w_hh, out_h, c_seq, d_out, d_hT, d_cT,
-                         interpret: bool = False):
-    """Reverse-time backward kernel. Returns (d_xw [T,2,B,4H] f32,
-    d_w_hh [2,H,4H] f32)."""
+def lstm_scan_pallas_train(xw, w_hh, interpret: bool = False):
+    """Forward that also returns the per-step cell states (residuals for
+    the backward kernel). Returns (out, c_seq, h_T, c_T)."""
+    return _train_sv[bool(interpret)](xw, w_hh)
+
+
+def _lstm_scan_pallas_bwd_impl(xw, w_hh, out_h, c_seq, d_out, dhc,
+                               interpret: bool = False):
     T, two, B, H4 = xw.shape
     H = H4 // 4
-    dhc = jnp.stack([d_hT.astype(jnp.float32), d_cT.astype(jnp.float32)], 0)
     dxw, dw = pl.pallas_call(
         functools.partial(_lstm_bwd_kernel, T=T),
         out_shape=(
@@ -594,6 +645,19 @@ def lstm_scan_pallas_bwd(xw, w_hh, out_h, c_seq, d_out, d_hT, d_cT,
         interpret=interpret,
     )(xw, w_hh, out_h, c_seq, d_out, dhc)
     return dxw, dw
+
+
+_bwd_sv = {i: _seq_vmap(_lstm_scan_pallas_bwd_impl, interpret=i)
+           for i in (False, True)}
+
+
+@functools.partial(jax.jit, static_argnames=('interpret',))
+def lstm_scan_pallas_bwd(xw, w_hh, out_h, c_seq, d_out, d_hT, d_cT,
+                         interpret: bool = False):
+    """Reverse-time backward kernel. Returns (d_xw [T,2,B,4H] f32,
+    d_w_hh [2,H,4H] f32)."""
+    dhc = jnp.stack([d_hT.astype(jnp.float32), d_cT.astype(jnp.float32)], 0)
+    return _bwd_sv[bool(interpret)](xw, w_hh, out_h, c_seq, d_out, dhc)
 
 
 def _lstm_kernel_train_flat(xw_hbm, w_hh_ref, out_hbm, c_hbm, hc_out_ref,
@@ -852,11 +916,8 @@ def _lstm_bwd_kernel_flat(xw_hbm, w_hh_ref, out_hbm, c_hbm, dout_hbm,
     dw_out_ref[:] = dw_acc[:]
 
 
-@functools.partial(jax.jit, static_argnames=('interpret',))
-def lstm_scan_pallas_train_flat(xw_flat, w_hh, interpret: bool = False):
-    """Flat-layout train forward. xw_flat: [T, B, 8H] (bwd half NOT
-    reversed). Returns (out [T, B, 2H] natural order, c_seq [T, 2, B, H]
-    f32 by step index, h_T [2, B, H] f32, c_T [2, B, H] f32)."""
+def _lstm_scan_pallas_train_flat_impl(xw_flat, w_hh,
+                                      interpret: bool = False):
     T, B, H8 = xw_flat.shape
     H = H8 // 8
     out, c_seq, hc = pl.pallas_call(
@@ -901,15 +962,23 @@ def lstm_scan_pallas_train_flat(xw_flat, w_hh, interpret: bool = False):
     return out, c_seq, hc[0], hc[1]
 
 
+_train_flat_sv = {i: _seq_vmap(_lstm_scan_pallas_train_flat_impl,
+                               interpret=i) for i in (False, True)}
+
+
 @functools.partial(jax.jit, static_argnames=('interpret',))
-def lstm_scan_pallas_bwd_flat(xw_flat, w_hh, out_h, c_seq, d_out, d_hT,
-                              d_cT, interpret: bool = False):
-    """Flat-layout backward kernel. Returns (d_xw [T, B, 8H] f32,
-    d_w_hh [2, H, 4H] f32)."""
+def lstm_scan_pallas_train_flat(xw_flat, w_hh, interpret: bool = False):
+    """Flat-layout train forward. xw_flat: [T, B, 8H] (bwd half NOT
+    reversed). Returns (out [T, B, 2H] natural order, c_seq [T, 2, B, H]
+    f32 by step index, h_T [2, B, H] f32, c_T [2, B, H] f32)."""
+    return _train_flat_sv[bool(interpret)](xw_flat, w_hh)
+
+
+def _lstm_scan_pallas_bwd_flat_impl(xw_flat, w_hh, out_h, c_seq, d_out,
+                                    dhc, interpret: bool = False):
     T, B, H8 = xw_flat.shape
     H = H8 // 8
     H4 = 4 * H
-    dhc = jnp.stack([d_hT.astype(jnp.float32), d_cT.astype(jnp.float32)], 0)
     dxw, dw = pl.pallas_call(
         functools.partial(_lstm_bwd_kernel_flat, T=T),
         out_shape=(
@@ -945,6 +1014,20 @@ def lstm_scan_pallas_bwd_flat(xw_flat, w_hh, out_h, c_seq, d_out, d_hT,
         interpret=interpret,
     )(xw_flat, w_hh, out_h, c_seq, d_out, dhc)
     return dxw, dw
+
+
+_bwd_flat_sv = {i: _seq_vmap(_lstm_scan_pallas_bwd_flat_impl, interpret=i)
+                for i in (False, True)}
+
+
+@functools.partial(jax.jit, static_argnames=('interpret',))
+def lstm_scan_pallas_bwd_flat(xw_flat, w_hh, out_h, c_seq, d_out, d_hT,
+                              d_cT, interpret: bool = False):
+    """Flat-layout backward kernel. Returns (d_xw [T, B, 8H] f32,
+    d_w_hh [2, H, 4H] f32)."""
+    dhc = jnp.stack([d_hT.astype(jnp.float32), d_cT.astype(jnp.float32)], 0)
+    return _bwd_flat_sv[bool(interpret)](xw_flat, w_hh, out_h, c_seq,
+                                         d_out, dhc)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=())

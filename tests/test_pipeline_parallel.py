@@ -80,3 +80,47 @@ def test_indivisible_microbatch_raises():
     mesh = create_pp_mesh(1, 4)
     with pytest.raises(ValueError, match="microbatch"):
         _run(mesh, params, video, word, n_micro=3, data_axis=None)
+
+
+def test_pipeline_gradients_equal_sequential():
+    """Backward through the GPipe schedule: jax.grad reverses the tick
+    scan — microbatch cotangents ripple right-to-left via the transposed
+    ppermute, which IS the GPipe backward schedule. Grads w.r.t. block0,
+    the stacked stage weights, the final norm, and both inputs must match
+    the sequential stack."""
+    params, video, word, _ = _params_and_ref()
+    mesh = create_pp_mesh(1, 4)
+    stacked = stack_stage_params(
+        [params[f"block{i}"] for i in range(1, NBLOCKS)], mesh=mesh)
+    mod = QueryAwareEncoder(hidden_dim=H, n_layers=1, nblocks=NBLOCKS,
+                            dropout=0.0)
+    v, w = jnp.asarray(video), jnp.asarray(word)
+
+    def loss_pp(p, st, v, w):
+        y = qave_pipelined(p, st, v, w, mesh, hidden_dim=H, n_layers=1,
+                           nblocks=NBLOCKS, n_micro=4, data_axis=None)
+        return jnp.sum(jnp.sin(y))
+
+    def loss_ref(p, v, w):
+        return jnp.sum(jnp.sin(mod.apply({"params": p}, v, w)))
+
+    gp, gs, gv, gw = jax.jit(jax.grad(loss_pp, argnums=(0, 1, 2, 3)))(
+        params, stacked, v, w)
+    gr, gv_r, gw_r = jax.jit(jax.grad(loss_ref, argnums=(0, 1, 2)))(
+        params, v, w)
+
+    def close(a, b, msg):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-5, atol=3e-6, err_msg=msg)
+
+    for part in ("block0", "norm"):
+        for (ka, a), b in zip(jax.tree.leaves_with_path(gp[part]),
+                              jax.tree.leaves(gr[part])):
+            close(a, b, f"{part}{jax.tree_util.keystr(ka)}")
+    for i in range(1, NBLOCKS):
+        sl = jax.tree.map(lambda a, i=i: a[i - 1], gs)
+        for (ka, a), b in zip(jax.tree.leaves_with_path(sl),
+                              jax.tree.leaves(gr[f"block{i}"])):
+            close(a, b, f"stage{i}{jax.tree_util.keystr(ka)}")
+    close(gv, gv_r, "d/dvideo")
+    close(gw, gw_r, "d/dword")

@@ -79,13 +79,44 @@ class GMD(nn.Module):
                  ori_back_mask: jnp.ndarray, pseudo_temporal_mask: jnp.ndarray,
                  pseudo_fore_mask: jnp.ndarray, pseudo_back_mask: jnp.ndarray,
                  deterministic: bool = True) -> Dict[str, jnp.ndarray]:
-        B = query_feat.shape[0]
-        word_feat, sent_embed = self.sentence_encoder(query_feat, deterministic)
+        word_feat, sent_embed = self.encode_query(query_feat, deterministic)
 
         # Shared encoder over both streams as one [2B] batch.
         both_video = jnp.concatenate([ori_video_feat, pseudo_video_feat], axis=0)
         both_words = jnp.concatenate([word_feat, word_feat], axis=0)
         both_frame_feat = self.video_encoder(both_video, both_words, deterministic)
+        return self.forward_from_frames(
+            word_feat, sent_embed, both_frame_feat, ori_video_mask,
+            pseudo_video_mask, ori_temporal_mask, ori_fore_mask, ori_back_mask,
+            pseudo_temporal_mask, pseudo_fore_mask, pseudo_back_mask,
+            deterministic)
+
+    def encode_query(self, query_feat: jnp.ndarray,
+                     deterministic: bool = True):
+        """Sentence-encoder half of the pair forward, exposed so encoder-
+        sharded train steps (parallel/pipeline.py) can run the video
+        encoder OUTSIDE the module and rejoin at
+        :meth:`forward_from_frames`."""
+        return self.sentence_encoder(query_feat, deterministic)
+
+    def forward_from_frames(self, word_feat: jnp.ndarray,
+                            sent_embed: jnp.ndarray,
+                            both_frame_feat: jnp.ndarray,
+                            ori_video_mask: jnp.ndarray,
+                            pseudo_video_mask: jnp.ndarray,
+                            ori_temporal_mask: jnp.ndarray,
+                            ori_fore_mask: jnp.ndarray,
+                            ori_back_mask: jnp.ndarray,
+                            pseudo_temporal_mask: jnp.ndarray,
+                            pseudo_fore_mask: jnp.ndarray,
+                            pseudo_back_mask: jnp.ndarray,
+                            deterministic: bool = True
+                            ) -> Dict[str, jnp.ndarray]:
+        """Everything after the shared video encoder: CSMM on both
+        streams, match-gated span prediction on raw, TOD on both.
+        ``both_frame_feat`` is the [2B, T, 2H] raw‖pseudo encoder output
+        (SpanGroundMatchDisc.py:60-100 less the encoder calls)."""
+        B = word_feat.shape[0]
         ori_frame_feat = both_frame_feat[:B]
         pseudo_frame_feat = both_frame_feat[B:]
 

@@ -131,6 +131,15 @@ DEFAULTS: Dict[str, Any] = {
                                   # step (0/1 = off). Per-seed val +
                                   # checkpoints (_s{i}.ckp); excludes
                                   # --fsdp / --start_from
+    "pipeline_stages": 0,         # >0: DEEPENED QAVE (nblocks = stages
+                                  # + 1) trained with the GPipe micro-
+                                  # batch schedule over a 'pipe' mesh
+                                  # axis (train/pipelined.py); check-
+                                  # points stay sequential-layout so
+                                  # test drivers load them unchanged
+    "pipeline_microbatches": 4,   # GPipe microbatches per step (bubble
+                                  # = (stages-1)/(micro+stages-1));
+                                  # batch_size/data-shards must divide
     "grad_accum_steps": 1,        # microbatches per optimizer update
                                   # (lax.scan inside the jitted step:
                                   # activation memory is one micro-

@@ -40,7 +40,11 @@ def model_config_from_params(params: Dict[str, Any],
         video_encoder_name=params['video_encoder'],
         video_hidden=params['video_rnn_hiddendim'],
         video_layers=params['video_rnn_layers'],
-        nblocks=2,  # hardcoded in the reference driver (train.py:60)
+        # 2 is hardcoded in the reference driver (train.py:60); the
+        # pipeline_stages depth-scaling config deepens the stack and
+        # trains it with the GPipe schedule (train/pipelined.py)
+        nblocks=(int(params.get('pipeline_stages') or 0) + 1
+                 if params.get('pipeline_stages') else 2),
         cross_name=params['crossmodal'],
         predictor_name=params['predictor'],
         mlp_hidden_dim=params['mlp_hidden_dim'],

@@ -91,7 +91,8 @@ def stack_stage_params(block_params: Sequence[Dict[str, Any]],
 def pipeline_blocks(stacked_params, block_module, x: jnp.ndarray,
                     word_feat: jnp.ndarray, mesh: Mesh, n_micro: int,
                     axis: str = PIPE_AXIS,
-                    data_axis: Optional[str] = DATA_AXIS) -> jnp.ndarray:
+                    data_axis: Optional[str] = DATA_AXIS,
+                    dropout_key: Optional[jax.Array] = None) -> jnp.ndarray:
     """Run ``n_stages`` homogeneous blocks as a GPipe microbatch pipeline.
 
     stacked_params: block param pytree stacked [n_stages, ...], sharded
@@ -101,6 +102,12 @@ def pipeline_blocks(stacked_params, block_module, x: jnp.ndarray,
     batch-sharded over ``data_axis`` (None for a pure 1D pipe mesh).
     word_feat: [B, N, Ds], same batch sharding — it travels through the
     pipeline with its microbatch because every stage's gate consumes it.
+
+    ``dropout_key`` turns training dropout on: every (stage, tick) pair
+    folds an independent key, so each microbatch draws its own masks at
+    each stage (the sequential stack draws ONE mask per stage for the
+    whole batch — distributionally equivalent, not bitwise; certify
+    schedule numerics with dropout off).
     """
     n_stages = mesh.shape[axis]
     lead = jax.tree.leaves(stacked_params)[0].shape[0]
@@ -127,15 +134,22 @@ def pipeline_blocks(stacked_params, block_module, x: jnp.ndarray,
         idx = jax.lax.axis_index(axis)
         on_first, on_last = idx == 0, idx == n_stages - 1
         perm_r = [(i, i + 1) for i in range(n_stages - 1)]
+        k_stage = (None if dropout_key is None
+                   else jax.random.fold_in(dropout_key, idx))
 
         def tick(carry, xs_t):
             buf_x, buf_w = carry
-            in_x, in_w = xs_t
+            in_x, in_w, t = xs_t
             # stage 0 ingests the next microbatch; stages 1.. consume
             # what hopped in from the left at the end of the last tick
             bx = jnp.where(on_first, in_x, buf_x)
             bw = jnp.where(on_first, in_w, buf_w)
-            y = block_module.apply({'params': p}, bx, bw)
+            if k_stage is None:
+                y = block_module.apply({'params': p}, bx, bw)
+            else:
+                y = block_module.apply(
+                    {'params': p}, bx, bw, False,
+                    rngs={'dropout': jax.random.fold_in(k_stage, t)})
             # the last stage's result is microbatch t-(n_stages-1);
             # replicate it over the pipe axis so every device's output
             # stream is the finished sequence (bubble ticks emit junk
@@ -147,7 +161,9 @@ def pipeline_blocks(stacked_params, block_module, x: jnp.ndarray,
 
         zx = jnp.zeros((Bm,) + x_loc.shape[1:], x_loc.dtype)
         zw = jnp.zeros((Bm,) + w_loc.shape[1:], w_loc.dtype)
-        _, ys = jax.lax.scan(tick, (zx, zw), (pad(mb_x), pad(mb_w)))
+        ticks = jnp.arange(n_micro + bubble, dtype=jnp.int32)
+        _, ys = jax.lax.scan(tick, (zx, zw),
+                             (pad(mb_x), pad(mb_w), ticks))
         return ys[bubble:].reshape(x_loc.shape)
 
     run = jax.shard_map(local, mesh=mesh,
@@ -168,7 +184,8 @@ def qave_pipelined(enc_params: Dict[str, Any], stacked_params,
                    n_micro: int, ca_activ: str = 'sigmoid',
                    axis: str = PIPE_AXIS,
                    data_axis: Optional[str] = DATA_AXIS,
-                   dtype: Any = jnp.float32) -> jnp.ndarray:
+                   dtype: Any = jnp.float32, dropout: float = 0.0,
+                   dropout_key: Optional[jax.Array] = None) -> jnp.ndarray:
     """Full QueryAwareEncoder with blocks 1..nblocks-1 pipelined.
 
     enc_params: a QueryAwareEncoder param dict ('block0'..'block{k}',
@@ -178,8 +195,10 @@ def qave_pipelined(enc_params: Dict[str, Any], stacked_params,
     already pipe-resident). Block 0 (whose input dim Dv differs from
     the tail) runs batch-parallel over every mesh axis; the homogeneous
     tail pipelines over ``axis``; the final LayerNorm is elementwise.
-    Inference path (dropout off). Matches QueryAwareEncoder.__call__
-    numerics.
+    Matches QueryAwareEncoder.__call__ numerics with dropout off
+    (``dropout_key=None``); pass a key to train with the module's
+    inter-layer LSTM dropout active (``dropout`` field), drawn
+    independently per device shard / stage / microbatch.
     """
     from ..models.components import LayerNorm, RNNRecalibrationLayer
 
@@ -188,7 +207,7 @@ def qave_pipelined(enc_params: Dict[str, Any], stacked_params,
         raise ValueError(f'nblocks={nblocks} needs a {nblocks - 1}-way '
                          f'{axis!r} mesh axis (got {n_stages})')
     block = RNNRecalibrationLayer(hidden_dim, n_layers, ca_activ,
-                                  dropout=0.0, dtype=dtype)
+                                  dropout=dropout, dtype=dtype)
     # block 0 is embarrassingly batch-parallel: run it under an explicit
     # shard_map with the batch split over EVERY mesh axis (all devices
     # busy) rather than letting GSPMD auto-partition the flax apply —
@@ -196,13 +215,24 @@ def qave_pipelined(enc_params: Dict[str, Any], stacked_params,
     # scan step (hundreds of all-to-alls in the compiled module)
     b0_axes = (axis,) if data_axis is None else (data_axis, axis)
     b0_spec = P(b0_axes)
+
+    def b0(p, v, w):
+        if dropout_key is None:
+            return block.apply({'params': p}, v, w)
+        k = dropout_key
+        for ax in b0_axes:  # independent masks per batch shard
+            k = jax.random.fold_in(k, jax.lax.axis_index(ax))
+        return block.apply({'params': p}, v, w, False,
+                           rngs={'dropout': k})
+
     run0 = jax.shard_map(
-        lambda p, v, w: block.apply({'params': p}, v, w),
-        mesh=mesh, in_specs=(P(), b0_spec, b0_spec), out_specs=b0_spec,
-        check_vma=False)
+        b0, mesh=mesh, in_specs=(P(), b0_spec, b0_spec),
+        out_specs=b0_spec, check_vma=False)
     residual = run0(enc_params['block0'], video_feat, word_feat)
+    tail_key = (None if dropout_key is None
+                else jax.random.fold_in(dropout_key, 1))
     residual = pipeline_blocks(stacked_params, block, residual, word_feat,
                                mesh, n_micro, axis=axis,
-                               data_axis=data_axis)
+                               data_axis=data_axis, dropout_key=tail_key)
     norm = LayerNorm(dtype=dtype)
     return norm.apply({'params': enc_params['norm']}, residual)

@@ -117,17 +117,23 @@ class JittedStep:
 
 def make_gmd_train_step(model, params: Dict[str, Any],
                         lg_frame2sec: bool = False, assembler=None,
-                        mesh=None):
+                        mesh=None, forward=None, extra_constrain=None):
+    """``forward(p, batch, pseudo, dropout_key)`` -> GMD output dict
+    overrides the model forward (default: the monolithic ``__call__``) —
+    the seam encoder-sharded variants (train/pipelined.py) plug into
+    while reusing the exact 4-term loss assembly. ``extra_constrain``
+    re-pins a custom state sharding after the optimizer update (same
+    contract as the FSDP constrainer)."""
     m1 = float(params['loss_m1_lambda'])
     m2 = float(params['loss_m2_lambda'])
     md = float(params['loss_disc_lambda'])
     on_device_aug = bool(params.get('on_device_aug', True))
     accum = int(params.get('grad_accum_steps', 1) or 1)
     from ..parallel.fsdp import state_constrainer
-    constrain = state_constrainer(params, mesh)
+    constrain = state_constrainer(params, mesh) or extra_constrain
 
-    def loss_fn(p, batch, pseudo, dropout_key):
-        out = model.apply(
+    def default_forward(p, batch, pseudo, dropout_key):
+        return model.apply(
             {'params': p},
             batch['sent_feat'], batch['sent_mask'],
             batch['video_feat'], batch['video_mask'],
@@ -135,6 +141,11 @@ def make_gmd_train_step(model, params: Dict[str, Any],
             batch['temporal_labels'], batch['fore_masks'], batch['back_masks'],
             pseudo['temporal_labels'], pseudo['fore_masks'], pseudo['back_masks'],
             deterministic=False, rngs={'dropout': dropout_key})
+
+    fwd = forward if forward is not None else default_forward
+
+    def loss_fn(p, batch, pseudo, dropout_key):
+        out = fwd(p, batch, pseudo, dropout_key)
         loss_g = span_ground_loss(out['start_prob'], out['end_prob'],
                                   batch['framestps'])
         loss_intra = m1 * (

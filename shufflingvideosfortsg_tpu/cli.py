@@ -235,8 +235,13 @@ def _saveable_state(state):
     """A state jax.device_get can fetch. Multi-host FSDP shards are not
     fully addressable, so replicate them first — gather_state is a
     COLLECTIVE: every process must reach this call, only process 0
-    writes the file afterwards."""
+    writes the file afterwards. Pipelined states convert back to the
+    sequential block1..k layout so checkpoints stay interchangeable with
+    every other driver (and the reference exporter)."""
     from .parallel.fsdp import gather_state, needs_gather
+    from .train.pipelined import is_pipelined_tree, to_sequential_state
+    if is_pipelined_tree(state.params):
+        state = to_sequential_state(state)
     return gather_state(state) if needs_gather(state) else state
 
 
@@ -545,12 +550,41 @@ def _eval_epoch(step, model_params, loader, bank, mesh, key=None):
     return host_batches, acc.fetch()
 
 
+def _pipeline_validate(params) -> int:
+    """Check --pipeline_stages combinations up front. Returns the stage
+    count (0 = off)."""
+    pp = int(params.get('pipeline_stages') or 0)
+    if pp <= 0:
+        return 0
+    if params.get('fsdp'):
+        raise ValueError('--pipeline_stages does not compose with --fsdp: '
+                         'stage weights already shard over the pipe axis')
+    if int(params.get('multi_seed', 0) or 0) > 1:
+        raise ValueError('--pipeline_stages does not compose with '
+                         '--multi_seed: the stacked seed axis and the '
+                         'stacked stage axis both claim leaf axis 0')
+    n_dev = len(jax.devices())
+    if n_dev % pp:
+        raise ValueError(f'--pipeline_stages={pp} needs a device count '
+                         f'divisible by it (have {n_dev})')
+    return pp
+
+
 def main_train(params: Dict[str, Any]) -> Dict[str, Any]:
     logger = setup_logger(params['alias'])
     _multiseed_validate(params)
+    pp_stages = _pipeline_validate(params)
     allow_existing, start_epoch = _resolve_auto_resume(params)
     saver = RunManager(params, allow_existing=allow_existing)
-    mesh = create_mesh(params.get('mesh_shape'))
+    if pp_stages:
+        from .parallel.pipeline import create_pp_mesh
+        mesh = create_pp_mesh(len(jax.devices()) // pp_stages, pp_stages)
+        logger.info('pipeline parallelism: %d stages (nblocks=%d) on a '
+                    '%s mesh, %d microbatches/step', pp_stages,
+                    pp_stages + 1, dict(mesh.shape),
+                    int(params.get('pipeline_microbatches', 4)))
+    else:
+        mesh = create_mesh(params.get('mesh_shape'))
     lg = str(params['vfeat_fn']).lower() == 'lg'
 
     model = build_model(params, 'gmd')
@@ -587,11 +621,19 @@ def main_train(params: Dict[str, Any]) -> Dict[str, Any]:
         logger.warning('resume from checkpoint: %s (reference-format=%s, '
                        'step=%s)', params['start_from'], is_ref,
                        payload.get('step'))
-    state = _place_state(state, mesh, params, logger)
-
-    train_step = make_gmd_train_step(
-        model, params, lg,
-        assembler=train_bank.assemble if train_bank else None, mesh=mesh)
+    if pp_stages:
+        from .train.pipelined import (make_gmd_pipelined_train_step,
+                                      to_pipelined_state)
+        state = to_pipelined_state(state, model.nblocks, mesh)
+        train_step = make_gmd_pipelined_train_step(
+            model, params, mesh,
+            int(params.get('pipeline_microbatches', 4)), lg,
+            assembler=train_bank.assemble if train_bank else None)
+    else:
+        state = _place_state(state, mesh, params, logger)
+        train_step = make_gmd_train_step(
+            model, params, lg,
+            assembler=train_bank.assemble if train_bank else None, mesh=mesh)
     valid_step = make_gmd_valid_step(
         model, params, lg,
         assembler=valid_bank.assemble if valid_bank else None)
@@ -726,7 +768,12 @@ def main_train(params: Dict[str, Any]) -> Dict[str, Any]:
                                    'miou': miou,
                                    'miou_per_seed': per_seed})
             else:
-                miou = run_valid(valid_step, state, valid_loader,
+                vstate = state
+                if pp_stages:  # valid runs the plain flax model
+                    from .train.pipelined import unstack_encoder_tail
+                    vstate = state.replace(
+                        params=unstack_encoder_tail(state.params))
+                miou = run_valid(valid_step, vstate, valid_loader,
                                  valid_set, params, logger, step_epoch,
                                  saver, mesh, vkey, bank=valid_bank)
                 saver.log_metrics({'epoch': step_epoch, 'phase': 'valid',

@@ -63,6 +63,65 @@ def unstack_encoder_tail(params: Dict[str, Any]) -> Dict[str, Any]:
     return {**params, 'video_encoder': enc}
 
 
+def _map_param_trees(node, fn):
+    """Apply ``fn`` to every params-shaped dict inside an arbitrary
+    optax/TrainState container (the Adam mu/nu trees mirror the params
+    tree, so layout conversions must reach them too)."""
+    if isinstance(node, dict):
+        if 'video_encoder' in node and isinstance(node['video_encoder'],
+                                                  dict):
+            return fn(node)
+        return {k: _map_param_trees(v, fn) for k, v in node.items()}
+    if isinstance(node, tuple):
+        vals = [_map_param_trees(v, fn) for v in node]
+        return type(node)(*vals) if hasattr(node, '_fields') \
+            else tuple(vals)
+    if isinstance(node, list):
+        return [_map_param_trees(v, fn) for v in node]
+    return node
+
+
+def to_pipelined_state(state, nblocks: int, mesh: Mesh,
+                       axis: str = PIPE_AXIS):
+    """Sequential-layout TrainState -> pipelined: stack the encoder tail
+    in params AND optimizer moments, commit tail leaves to P(axis) and
+    everything else replicated."""
+    stage = NamedSharding(mesh, P(axis))
+    repl = NamedSharding(mesh, P())
+
+    def stack(tree):
+        return stack_encoder_tail(tree, nblocks)
+
+    params = _map_param_trees(state.params, stack)
+    opt_state = _map_param_trees(state.opt_state, stack)
+
+    def place(path, leaf):
+        on_tail = any(getattr(k, 'key', None) == 'tail' for k in path)
+        return jax.device_put(leaf, stage if on_tail else repl)
+
+    return state.replace(
+        params=jax.tree_util.tree_map_with_path(place, params),
+        opt_state=jax.tree_util.tree_map_with_path(place, opt_state),
+        step=jax.device_put(state.step, repl))
+
+
+def to_sequential_state(state):
+    """Pipelined TrainState -> sequential layout (for checkpoints and
+    the unchanged valid/test drivers)."""
+    def unstack(tree):
+        if 'tail' in tree.get('video_encoder', {}):
+            return unstack_encoder_tail(tree)
+        return tree
+    return state.replace(
+        params=_map_param_trees(state.params, unstack),
+        opt_state=_map_param_trees(state.opt_state, unstack))
+
+
+def is_pipelined_tree(params) -> bool:
+    return isinstance(params, dict) and \
+        'tail' in params.get('video_encoder', {})
+
+
 def pipelined_state_constrainer(mesh: Mesh, axis: str = PIPE_AXIS):
     """Re-pin the pipelined placement after each optimizer update:
     ``video_encoder/tail`` leaves stay P(axis)-sharded (params AND their

@@ -389,3 +389,33 @@ def test_eval_topk_driver(tiny_env):
         ks = sorted(rows)
         vals = [rows[k][f"R{k}@{t}"] for k in ks]
         assert all(b >= a for a, b in zip(vals, vals[1:]))
+
+
+def test_train_pipelined_gmd_roundtrip(tiny_env):
+    """--pipeline_stages: the deepened (nblocks=stages+1) GMD trains with
+    the GPipe schedule on a data-x-pipe mesh; checkpoints come out in the
+    SEQUENTIAL layout so the unchanged test driver loads them."""
+    make_params = tiny_env
+    params, runs = make_params("drv_pipe", pipeline_stages=4,
+                               pipeline_microbatches=2, epoch=1)
+    stats = cli.main_train(params)
+    assert 0 in stats["mIoU"]
+    ckpt = os.path.join(runs, "drv_pipe", "model", "drv_pipe_00000.ckp")
+    assert os.path.isfile(ckpt)
+    # sequential layout: the test driver (plain flax model, nblocks=5)
+    # must strict-load it
+    tparams, _ = make_params("test_drv_pipe", start_from=ckpt,
+                             pipeline_stages=4)
+    submit = cli.main_test(tparams)
+    sub = json.load(open(submit))
+    assert sum(len(v) for v in sub["results"].values()) == 32
+
+
+def test_pipeline_excludes_fsdp_and_multiseed(tiny_env):
+    make_params = tiny_env
+    params, _ = make_params("drv_pipe_x", pipeline_stages=4, fsdp=True)
+    with pytest.raises(ValueError, match="does not compose with --fsdp"):
+        cli.main_train(params)
+    params2, _ = make_params("drv_pipe_y", pipeline_stages=4, multi_seed=3)
+    with pytest.raises(ValueError, match="multi_seed"):
+        cli.main_train(params2)

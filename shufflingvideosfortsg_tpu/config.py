@@ -140,6 +140,11 @@ DEFAULTS: Dict[str, Any] = {
     "pipeline_microbatches": 4,   # GPipe microbatches per step (bubble
                                   # = (stages-1)/(micro+stages-1));
                                   # batch_size/data-shards must divide
+    "remat": False,               # jax.checkpoint each QAVE block: the
+                                  # backward recomputes activations
+                                  # instead of saving them — for large-B
+                                  # training past the HBM spill point
+                                  # (docs/KERNELS.md B-sweep)
     "grad_accum_steps": 1,        # microbatches per optimizer update
                                   # (lax.scan inside the jitted step:
                                   # activation memory is one micro-

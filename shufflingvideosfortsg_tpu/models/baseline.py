@@ -28,6 +28,7 @@ class Baseline(nn.Module):
     dropout: float = 0.5
     dtype: Any = jnp.float32
     fused_inference: Any = False
+    remat: bool = False
 
     def setup(self):
         self.sentence_encoder = SentenceRNNEncoder(
@@ -36,7 +37,8 @@ class Baseline(nn.Module):
         if self.video_encoder_name.lower() in ('query_aware_encoder', 'qae', 'qave'):
             self.video_encoder = QueryAwareEncoder(
                 self.video_hidden, self.video_layers, self.nblocks,
-                self.dropout, dtype=self.dtype, fused=self.fused_inference)
+                self.dropout, dtype=self.dtype, fused=self.fused_inference,
+                remat=self.remat)
         else:
             self.video_encoder = VideoRNNEncoder(
                 self.video_hidden, self.video_layers, self.dropout,

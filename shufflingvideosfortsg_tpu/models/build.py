@@ -50,6 +50,7 @@ def model_config_from_params(params: Dict[str, Any],
         mlp_hidden_dim=params['mlp_hidden_dim'],
         span_hidden_dim=params['span_hidden_dim'],
         video_if_mask=bool(params['mask']),
+        remat=bool(params.get('remat', False)),
         dropout=params['dropout'],
         dtype=_dtype(params),
     )

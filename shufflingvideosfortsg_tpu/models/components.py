@@ -209,7 +209,12 @@ class RNNRecalibrationLayer(nn.Module):
 
 
 class QueryAwareEncoder(nn.Module):
-    """QAVE: a stack of recalibration blocks + final LayerNorm."""
+    """QAVE: a stack of recalibration blocks + final LayerNorm.
+
+    ``remat=True`` wraps each block in ``nn.remat`` (jax.checkpoint):
+    the backward recomputes block activations instead of saving them —
+    trades ~1 extra forward of FLOPs for the saved-activation working
+    set that spills HBM past B≈96 (docs/KERNELS.md B-sweep)."""
     hidden_dim: int
     n_layers: int
     nblocks: int
@@ -217,17 +222,22 @@ class QueryAwareEncoder(nn.Module):
     ca_activ: str = 'sigmoid'
     dtype: Any = jnp.float32
     fused: Any = False
+    remat: bool = False
 
     @property
     def visual_dim(self) -> int:
         return self.hidden_dim * 2
 
     def setup(self):
+        cls = RNNRecalibrationLayer
+        if self.remat:
+            # deterministic (arg 2) is a Python bool -> static
+            cls = nn.remat(RNNRecalibrationLayer, static_argnums=(2,))
         self.blocks = tuple(
-            RNNRecalibrationLayer(self.hidden_dim, self.n_layers,
-                                  self.ca_activ, self.dropout,
-                                  dtype=self.dtype, fused=self.fused,
-                                  name=f'block{i}')
+            cls(self.hidden_dim, self.n_layers,
+                self.ca_activ, self.dropout,
+                dtype=self.dtype, fused=self.fused,
+                name=f'block{i}')
             for i in range(self.nblocks))
         self.norm = LayerNorm(dtype=self.dtype, name='norm')
 

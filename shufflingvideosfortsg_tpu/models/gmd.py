@@ -49,6 +49,8 @@ class GMD(nn.Module):
     dtype: Any = jnp.float32
     # Pallas fused LSTM recurrence: False | 'eval' | 'train'
     fused_inference: Any = False
+    # remat the video-encoder blocks (backward recomputes activations)
+    remat: bool = False
 
     def setup(self):
         self.sentence_encoder = SentenceRNNEncoder(
@@ -57,7 +59,8 @@ class GMD(nn.Module):
         if self.video_encoder_name.lower() in ('query_aware_encoder', 'qae', 'qave'):
             self.video_encoder = QueryAwareEncoder(
                 self.video_hidden, self.video_layers, self.nblocks,
-                self.dropout, dtype=self.dtype, fused=self.fused_inference)
+                self.dropout, dtype=self.dtype, fused=self.fused_inference,
+                remat=self.remat)
         else:
             self.video_encoder = VideoRNNEncoder(
                 self.video_hidden, self.video_layers, self.dropout,

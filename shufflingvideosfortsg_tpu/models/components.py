@@ -231,8 +231,9 @@ class QueryAwareEncoder(nn.Module):
     def setup(self):
         cls = RNNRecalibrationLayer
         if self.remat:
-            # deterministic (arg 2) is a Python bool -> static
-            cls = nn.remat(RNNRecalibrationLayer, static_argnums=(2,))
+            # deterministic is a Python bool -> static (index 3: the
+            # lifted core_fn counts the module itself as arg 0)
+            cls = nn.remat(RNNRecalibrationLayer, static_argnums=(3,))
         self.blocks = tuple(
             cls(self.hidden_dim, self.n_layers,
                 self.ca_activ, self.dropout,

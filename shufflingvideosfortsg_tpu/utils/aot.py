@@ -36,7 +36,9 @@ from jax import export as jax_export
 MANIFEST = "manifest.json"
 WEIGHTS = "weights.msgpack"
 VOCAB = "vocab.npy"
-_FNS = ("precompute", "serve_features", "serve_tokens")
+BANK = "bank.npz"
+_FNS = ("precompute", "serve_features", "serve_tokens",
+        "serve_bank", "serve_bank_tokens")
 
 # Calling convention of every exported fn: weights are always the first
 # argument (kept OUT of the artifact constants so one artifact serves any
@@ -54,15 +56,22 @@ def export_grounder(grounder, out_dir: str,
                     video_feature_dim: Optional[int] = None) -> Dict[str, Any]:
     """Export a live MultiQueryGrounder's serving paths to ``out_dir``.
 
-    Requires a resident video (:meth:`set_video` — fixes T); exports
-    ``serve_tokens`` too when a vocab is resident (:meth:`set_vocab`).
-    The serve batch shape is the grounder's ``query_batch`` and the
-    config's ``sent_len`` (the same chunk/pad convention the live
-    grounder uses). Returns the manifest dict.
+    Tiers follow what is resident on the grounder: a resident video
+    (:meth:`set_video`) exports the single-video ``precompute`` /
+    ``serve_features`` (+ ``serve_tokens`` with a vocab); a resident
+    CORPUS bank (:meth:`set_corpus` / :meth:`set_videos`) additionally
+    exports ``serve_bank`` (feature queries × per-query video ids) and
+    ``serve_bank_tokens`` — the production serving paths
+    (docs/SERVING.md tier table). The bank itself (f32/bf16 array or the
+    int8 (values, scales) pair) is stored beside the weights in
+    ``bank.npz`` and rides into every call as an argument, exactly as in
+    the live grounder. The serve batch shape is the grounder's
+    ``query_batch`` and the config's ``sent_len``. Returns the manifest.
     """
-    if grounder._resident_rnn0 is None:
-        raise ValueError("set_video(...) first: export fixes the video "
-                         "length T from the resident recurrence")
+    bank = grounder._resident_bank
+    if grounder._resident_rnn0 is None and bank is None:
+        raise ValueError("set_video(...) or set_corpus(...) first: export "
+                         "fixes shapes from the resident state")
     os.makedirs(out_dir, exist_ok=True)
     params_host = jax.device_get(grounder.model_params)
     rnn0 = grounder._resident_rnn0
@@ -70,24 +79,55 @@ def export_grounder(grounder, out_dir: str,
     N = int(grounder.params.get("sent_len", 20))
     Dv = int(video_feature_dim
              or grounder.params.get("video_feature_dim", 1024))
-    T = int(rnn0.shape[1])
+    T = int(rnn0.shape[1] if rnn0 is not None
+            else jax.tree.leaves(bank)[0].shape[1])
     kw = dict(platforms=tuple(platforms)) if platforms else {}
 
     p_spec = _spec_tree(params_host)
-    specs = {
-        "precompute": (p_spec,
-                       jax.ShapeDtypeStruct((1, T, Dv), jnp.float32)),
-        "serve_features": (p_spec, _spec_tree(rnn0),
-                           jax.ShapeDtypeStruct((Q, N, 300), jnp.float32)),
-    }
-    fns = {"precompute": grounder._precompute,
-           "serve_features": grounder._serve}
+    specs, fns = {}, {}
+    if rnn0 is not None:
+        specs["precompute"] = (
+            p_spec, jax.ShapeDtypeStruct((1, T, Dv), jnp.float32))
+        specs["serve_features"] = (
+            p_spec, _spec_tree(rnn0),
+            jax.ShapeDtypeStruct((Q, N, 300), jnp.float32))
+        fns["precompute"] = grounder._precompute
+        fns["serve_features"] = grounder._serve
+    emb = None
     if grounder._resident_emb is not None:
         emb = np.asarray(jax.device_get(grounder._resident_emb), np.float32)
         np.save(os.path.join(out_dir, VOCAB), emb)
-        specs["serve_tokens"] = (p_spec, _spec_tree(rnn0), _spec_tree(emb),
-                                 jax.ShapeDtypeStruct((Q, N), jnp.int32))
-        fns["serve_tokens"] = grounder._serve_tokens
+        if rnn0 is not None:
+            specs["serve_tokens"] = (
+                p_spec, _spec_tree(rnn0), _spec_tree(emb),
+                jax.ShapeDtypeStruct((Q, N), jnp.int32))
+            fns["serve_tokens"] = grounder._serve_tokens
+    num_videos = bank_dtype = None
+    if bank is not None:
+        bank_host = jax.device_get(bank)
+        ids_spec = jax.ShapeDtypeStruct((Q,), jnp.int32)
+        specs["serve_bank"] = (
+            p_spec, _spec_tree(bank_host),
+            jax.ShapeDtypeStruct((Q, N, 300), jnp.float32), ids_spec)
+        fns["serve_bank"] = grounder._serve_multi
+        if emb is not None:
+            specs["serve_bank_tokens"] = (
+                p_spec, _spec_tree(bank_host), _spec_tree(emb),
+                jax.ShapeDtypeStruct((Q, N), jnp.int32), ids_spec)
+            fns["serve_bank_tokens"] = grounder._serve_multi_tokens
+        if isinstance(bank_host, tuple):  # int8 tier: (values, scales)
+            np.savez(os.path.join(out_dir, BANK),
+                     bank_q=np.asarray(bank_host[0]),
+                     bank_s=np.asarray(bank_host[1]))
+            bank_dtype = "int8"
+        else:
+            arr = np.asarray(bank_host)
+            # bf16 has no numpy dtype — store via f32 round-trip and
+            # record the wire dtype so load restores it
+            bank_dtype = str(bank_host.dtype)
+            np.savez(os.path.join(out_dir, BANK),
+                     bank=arr.astype(np.float32))
+        num_videos = int(jax.tree.leaves(bank_host)[0].shape[0])
 
     exported_names = []
     for name, spec in specs.items():
@@ -116,6 +156,8 @@ def export_grounder(grounder, out_dir: str,
         "video_feature_dim": Dv,
         "sent_len": N,
         "query_batch": Q,
+        "num_videos": num_videos,
+        "bank_dtype": bank_dtype,
         "platforms": list(platforms) if platforms else [jax.default_backend()],
         "jax_version": jax.__version__,
     }
@@ -152,6 +194,16 @@ class ExportedGrounder:
             if os.path.isfile(vocab_path) else None
         self.query_batch = int(self.manifest["query_batch"])
         self._rnn0 = None
+        self._bank = None
+        bank_path = os.path.join(path, BANK)
+        if os.path.isfile(bank_path):
+            z = np.load(bank_path)
+            if "bank_q" in z:  # int8 tier: (values, scales)
+                self._bank = (jnp.asarray(z["bank_q"]),
+                              jnp.asarray(z["bank_s"]))
+            else:
+                dt = self.manifest.get("bank_dtype") or "float32"
+                self._bank = jnp.asarray(z["bank"]).astype(dt)
 
     def set_video(self, video_feats: np.ndarray) -> None:
         T, Dv = self.manifest["video_len"], self.manifest["video_feature_dim"]
@@ -191,6 +243,51 @@ class ExportedGrounder:
         return self._chunked(
             lambda q: call(self.weights, self._rnn0, self._emb, q),
             token_ids, jnp.int32)
+
+    # ----- corpus/bank tier (per-query video ids; bank bundled) -----
+
+    def _chunked_ids(self, fn, arr, ids, dtype):
+        Q, qb = arr.shape[0], self.query_batch
+        if ids.shape[0] != Q:
+            raise ValueError("one video id per query")
+        preds, scores = [], []
+        for i in range(0, Q, qb):
+            chunk, idc = arr[i:i + qb], ids[i:i + qb]
+            n = len(chunk)
+            if n < qb:
+                chunk = np.concatenate(
+                    [chunk, np.repeat(chunk[-1:], qb - n, axis=0)], axis=0)
+                idc = np.concatenate([idc, np.repeat(idc[-1:], qb - n)])
+            pred, score = fn(jnp.asarray(chunk, dtype),
+                             jnp.asarray(idc, jnp.int32))
+            preds.append(np.asarray(pred)[:n])
+            scores.append(np.asarray(score)[:n])
+        return np.concatenate(preds), np.concatenate(scores)
+
+    def ground_bank(self, sent_feats: np.ndarray, video_ids: np.ndarray
+                    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Feature queries against the bundled corpus bank: query i
+        grounds against bank video ``video_ids[i]`` (the live grounder's
+        ground_bank surface)."""
+        if "serve_bank" not in self._calls:
+            raise ValueError("artifact was exported without a corpus bank "
+                             "(set_corpus/set_videos before export)")
+        call = self._calls["serve_bank"]
+        return self._chunked_ids(
+            lambda q, v: call(self.weights, self._bank, q, v),
+            sent_feats, video_ids, jnp.float32)
+
+    def ground_tokens(self, token_ids: np.ndarray, video_ids: np.ndarray
+                      ) -> Tuple[np.ndarray, np.ndarray]:
+        """Token-id queries against the bundled corpus bank (the live
+        grounder's ground_tokens surface — the production tier)."""
+        if "serve_bank_tokens" not in self._calls:
+            raise ValueError("artifact lacks the token corpus tier "
+                             "(set_corpus AND set_vocab before export)")
+        call = self._calls["serve_bank_tokens"]
+        return self._chunked_ids(
+            lambda q, v: call(self.weights, self._bank, self._emb, q, v),
+            token_ids, video_ids, jnp.int32)
 
 
 def load_grounder_artifact(path: str) -> ExportedGrounder:

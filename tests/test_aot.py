@@ -167,3 +167,92 @@ def test_export_serving_tool(tmp_path):
     assert (pred[:, 1] >= pred[:, 0]).all()
     meta = json.load(open(os.path.join(out, "manifest.json")))
     assert meta["video_len"] == T
+
+
+# ---------------------------------------------------------------------------
+# Corpus/bank tier: the production serving paths (docs/SERVING.md)
+# ---------------------------------------------------------------------------
+
+class _FakePack:
+    """Minimal feature-pack surface for set_corpus."""
+
+    def __init__(self, feats):
+        self._f = feats
+        self.num_videos = feats.shape[0]
+        self.vid_to_row = {f'v{i}': i for i in range(self.num_videos)}
+
+    def gather(self, rows):
+        return self._f[np.asarray(rows)]
+
+
+@pytest.fixture(scope='module')
+def corpus_artifact_env(tmp_path_factory, artifact_env):
+    g, _, _, _, emb, _ = artifact_env
+    rng = np.random.RandomState(11)
+    V = 6
+    videos = rng.randn(V, T, DV).astype(np.float32)
+    g.set_videos(videos)  # plain bank tier
+    out = str(tmp_path_factory.mktemp('aot_corpus'))
+    manifest = export_grounder(g, out)
+    return g, out, manifest, videos, emb, rng
+
+
+def test_corpus_manifest(corpus_artifact_env):
+    import os
+    _, out, manifest, videos, _, _ = corpus_artifact_env
+    assert 'serve_bank' in manifest['functions']
+    assert 'serve_bank_tokens' in manifest['functions']
+    assert manifest['num_videos'] == videos.shape[0]
+    assert os.path.isfile(os.path.join(out, 'bank.npz'))
+
+
+def test_exported_equals_live_bank(corpus_artifact_env):
+    g, out, _, videos, _, rng = corpus_artifact_env
+    e = load_grounder_artifact(out)
+    q = rng.randn(13, N, 300).astype(np.float32)
+    ids = rng.randint(0, videos.shape[0], 13).astype(np.int32)
+    pred_l, score_l = g.ground_bank(q, ids)
+    pred_e, score_e = e.ground_bank(q, ids)
+    np.testing.assert_array_equal(pred_e, pred_l)
+    np.testing.assert_allclose(score_e, score_l, rtol=1e-6)
+
+
+def test_exported_equals_live_bank_tokens(corpus_artifact_env):
+    g, out, _, videos, emb, rng = corpus_artifact_env
+    e = load_grounder_artifact(out)
+    tok = rng.randint(1, emb.shape[0], (13, N)).astype(np.int32)
+    ids = rng.randint(0, videos.shape[0], 13).astype(np.int32)
+    pred_l, score_l = g.ground_tokens(tok, ids)
+    pred_e, score_e = e.ground_tokens(tok, ids)
+    np.testing.assert_array_equal(pred_e, pred_l)
+    np.testing.assert_allclose(score_e, score_l, rtol=1e-6)
+
+
+def test_exported_int8_corpus_tier(tmp_path, artifact_env):
+    """The int8 corpus (set_corpus dtype='int8') exports as (values,
+    scales) in bank.npz and the reloaded artifact reproduces the live
+    int8 grounder exactly."""
+    g, _, _, _, emb, _ = artifact_env
+    rng = np.random.RandomState(17)
+    V = 5
+    pack = _FakePack(rng.randn(V, T, DV).astype(np.float32))
+    g.set_corpus(pack, chunk_videos=2, dtype='int8')
+    assert isinstance(g._resident_bank, tuple)
+    out = str(tmp_path / 'aot_int8')
+    manifest = export_grounder(g, out)
+    assert manifest['bank_dtype'] == 'int8'
+    e = load_grounder_artifact(out)
+    tok = rng.randint(1, emb.shape[0], (9, N)).astype(np.int32)
+    ids = rng.randint(0, V, 9).astype(np.int32)
+    pred_l, score_l = g.ground_tokens(tok, ids)
+    pred_e, score_e = e.ground_tokens(tok, ids)
+    np.testing.assert_array_equal(pred_e, pred_l)
+    np.testing.assert_allclose(score_e, score_l, rtol=1e-6)
+
+
+def test_bank_tier_missing_raises(artifact_env):
+    _, out, _, _, _, _ = artifact_env
+    e = load_grounder_artifact(out)
+    with pytest.raises(ValueError, match='corpus bank'):
+        e.ground_bank(np.zeros((2, N, 300), np.float32),
+                      np.zeros((2,), np.int32))

@@ -48,6 +48,12 @@ def main():
     ap.add_argument('--vocab', type=str, default=None,
                     help='GloVe matrix .npy to bundle for token-id serving '
                          '(default: cfg word_fts_path if readable)')
+    ap.add_argument('--corpus', type=str, default=None,
+                    help='featpack dir: pin the WHOLE corpus bank and '
+                         'export the (query, vid) serving tier too')
+    ap.add_argument('--bank_dtype', type=str, default='raw',
+                    choices=['raw', 'int8'],
+                    help='corpus bank storage (int8 = half bf16 residency)')
     args = ap.parse_args()
 
     if args.cfg.endswith('.json'):
@@ -85,6 +91,14 @@ def main():
         print(f'vocab: {vocab} {emb.shape}')
     else:
         print('no vocab bundled (feature-query serving only)')
+
+    if args.corpus:
+        from shufflingvideosfortsg_tpu.data.featpack import (
+            PackedFeatureSource)
+        pack = PackedFeatureSource(args.corpus)
+        g.set_corpus(pack, dtype=args.bank_dtype)
+        print(f'corpus bank: {pack.num_videos} videos '
+              f'({args.bank_dtype}) from {args.corpus}')
 
     manifest = export_grounder(g, args.out, platforms=platforms)
     size = sum(os.path.getsize(os.path.join(args.out, f))

@@ -98,7 +98,12 @@ def corpus_params(corpus, out, alias, a, **over):
         train_featpath=pack, valid_featpath=pack, test_featpath=pack,
         epoch=a.epochs, alias=alias, runs=os.path.join(out, 'runs'),
         start_from=None, batch_log_interval=-1,
-        video_len=a.t, sent_len=a.sent_len)
+        video_len=a.t, sent_len=a.sent_len,
+        # the protocol only evaluates the FINAL checkpoint (eval_split
+        # below, through the real test drivers) — skip the per-epoch
+        # validation + checkpoint round-trips, which dominate wall time
+        # through the remote-relay link (5 seeds x val epoch x 24)
+        test_interval=a.epochs, save_model_interval=a.epochs)
     if a.lr_step:
         overrides['lr_step'] = list(a.lr_step)
     if a.lambda_kl is not None:

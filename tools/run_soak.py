@@ -20,10 +20,10 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_bench(extra, timeout=1800):
-    """One bench.py invocation; returns the parsed JSON lines."""
+def run_bench(extra, timeout=1800, script='bench.py'):
+    """One bench-script invocation; returns the parsed JSON lines."""
     out = subprocess.run(
-        [sys.executable, os.path.join(REPO, 'bench.py')] + extra,
+        [sys.executable, os.path.join(REPO, script)] + extra,
         capture_output=True, text=True, timeout=timeout)
     lines = []
     for line in out.stdout.splitlines():
@@ -44,14 +44,14 @@ def median(xs):
     return xs[n // 2] if n % 2 else 0.5 * (xs[n // 2 - 1] + xs[n // 2])
 
 
-def repeat_mode(mode_args, repeats, timeout=1800):
+def repeat_mode(mode_args, repeats, timeout=1800, script='bench.py'):
     """Repeat one bench mode; collate per-metric value lists. A rep that
     times out or fails is skipped (the relay can wedge for minutes after
     a killed upload); the medians then cover the reps that completed."""
     per_metric = {}
     for i in range(repeats):
         try:
-            recs = run_bench(mode_args, timeout=timeout)
+            recs = run_bench(mode_args, timeout=timeout, script=script)
         except Exception as exc:  # noqa: BLE001
             print(f'rep {i} of {mode_args} failed: {exc}',
                   file=sys.stderr, flush=True)
@@ -69,6 +69,11 @@ def repeat_mode(mode_args, repeats, timeout=1800):
         rec['runs'] = len(vals)
         rec['min'] = round(min(vals), 1)
         rec['max'] = round(max(vals), 1)
+        if 'latency_ms' in rec:  # gateway: median each percentile too
+            rec['latency_ms'] = {
+                k: round(median([r['latency_ms'][k]
+                                 for r in d['records']]), 1)
+                for k in rec['latency_ms']}
         if rec.get('vs_baseline') and d['records'][-1]['value']:
             rec['vs_baseline'] = round(
                 rec['vs_baseline'] * rec['value']
@@ -83,7 +88,8 @@ def main():
     ap.add_argument('--round', type=int, default=3)
     ap.add_argument('--repeats', type=int, default=5)
     ap.add_argument('--modes', nargs='+',
-                    default=['serve', 'serve-corpus', 'eval', 'train'])
+                    default=['serve', 'serve-corpus', 'eval', 'train',
+                             'gateway', 'driver-train', 'driver-eval'])
     args = ap.parse_args()
 
     results = []
@@ -95,7 +101,18 @@ def main():
                                        args.repeats)
                 print(f'{mode}/{ds} done', file=sys.stderr, flush=True)
             continue
-        results += repeat_mode(extra, args.repeats)
+        if mode == 'gateway':
+            # the native dynamic-batching gateway under concurrent
+            # clients, with p50/p95/p99 medianed across reps
+            results += repeat_mode([], args.repeats,
+                                   script='tools/bench_gateway.py')
+        elif mode in ('driver-train', 'driver-eval'):
+            # the AS-SHIPPED cli train/eval paths (RUNTIME.md numbers)
+            results += repeat_mode(['--mode', mode.split('-')[1]],
+                                   args.repeats,
+                                   script='tools/bench_driver.py')
+        else:
+            results += repeat_mode(extra, args.repeats)
         print(f'{mode} done', file=sys.stderr, flush=True)
 
     payload = {

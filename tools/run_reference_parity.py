@@ -114,7 +114,7 @@ def torch_train(params, corpus, epochs):
     anno = os.path.join(corpus, 'annotations', 'charades_train.json')
     pack = os.path.join(corpus, 'pack')
     ds = SentenceGroundingDataset(anno, pack, params,
-                                  dataset_name='charades', split='train')
+                                  dataset_name='charades')
     loader = BatchLoader(ds, params['batch_size'][0], shuffle=True,
                          seed=params.get('seed', 123), host_pair_aug=True,
                          prefetch=0)
@@ -162,6 +162,28 @@ def torch_train(params, corpus, epochs):
     return model
 
 
+def ref_span_pred(start_prob, end_prob):
+    """The reference's B x T x T argmax decode (loss.py:53-70),
+    verbatim except one torch-2 shim: loss.py:66 indexes with a (2, B)
+    numpy array, which torch 1.6 interpreted as COORDINATE (tuple-style)
+    indexing; torch 2.x treats it as dim-0 advanced indexing and breaks.
+    ``tuple(idx)`` restores the 1.6 semantics."""
+    import torch
+    B, T = start_prob.size()
+    start_matrix = start_prob.unsqueeze(dim=-1).expand(B, T, T)
+    end_matrix = end_prob.unsqueeze(dim=-1).expand(B, T, T).permute(0, 2, 1)
+    prob_matrix = (start_matrix + end_matrix).triu(diagonal=0)
+    row_max, row_max_idx = prob_matrix.max(dim=2)
+    prob_max, colum_max_idx = row_max.max(dim=1)
+    idx = torch.arange(0, B)
+    idx = torch.stack((idx, colum_max_idx), dim=0).numpy()
+    start = colum_max_idx
+    end = row_max_idx[tuple(idx)]  # torch-1.6 coordinate semantics
+    pred_time = torch.cat((start.unsqueeze(dim=-1),
+                           end.unsqueeze(dim=-1)), dim=-1)
+    return pred_time, prob_max
+
+
 def torch_eval(model, params, corpus, split, workdir):
     """The reference test() path (test.py:82-150): eval_forward +
     span_pred decode + submit JSON, scored by our golden-tested
@@ -174,7 +196,7 @@ def torch_eval(model, params, corpus, split, workdir):
     anno = os.path.join(corpus, 'annotations', f'charades_{split}.json')
     pack = os.path.join(corpus, 'pack')
     ds = SentenceGroundingDataset(anno, pack, params,
-                                  dataset_name='charades', split='test')
+                                  dataset_name='charades')
     loader = BatchLoader(ds, params['batch_size'][2], shuffle=False,
                          prefetch=0)
     pred_dict = {'version': 'V0', 'results': {},
@@ -190,8 +212,7 @@ def torch_eval(model, params, corpus, split, workdir):
                 t(b['video_feat']).float(), t(b['sent_feat']).float(),
                 torch.ones(Bv, params['video_len']),
                 torch.ones(Bv, params['sent_len']))
-            import loss as ref_loss
-            pred_time, score = ref_loss.span_pred(
+            pred_time, score = ref_span_pred(
                 span_prob['start'].cpu(), span_prob['end'].cpu())
             pred_time = pred_time.numpy().astype(np.float32)
             for i in range(b['n_valid']):

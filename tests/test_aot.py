@@ -111,6 +111,41 @@ def test_export_requires_resident_video():
         export_grounder(g, '/tmp/should_not_exist_aot')
 
 
+def test_tpu_native_dual_export(artifact_env, tmp_path):
+    """A portable bundle can carry TPU-native Pallas-fused variants
+    beside the cross-platform scan ones (``tpu_grounder=``): the
+    manifest lists them, the files hold Mosaic custom calls lowered for
+    the tpu platform (ahead-of-time, from this TPU-less host), and a
+    CPU load transparently falls back to the portable files with
+    results identical to the live grounder."""
+    import os
+
+    from jax import export as jax_export
+
+    g, _, _, video, emb, rng = artifact_env
+    g_tpu = MultiQueryGrounder(dict(CFG, fused_inference=True),
+                               g.model_params, query_batch=8)
+    out = str(tmp_path / 'dual')
+    manifest = export_grounder(g, out, platforms=('cpu', 'tpu'),
+                               tpu_grounder=g_tpu)
+    assert sorted(manifest['tpu_native']) == sorted(manifest['functions'])
+    for name in manifest['tpu_native']:
+        path = os.path.join(out, f'{name}.tpu.stablehlo')
+        assert os.path.isfile(path), name
+        with open(path, 'rb') as f:
+            exp = jax_export.deserialize(f.read())
+        assert exp.platforms == ('tpu',), (name, exp.platforms)
+
+    e = load_grounder_artifact(out)  # CPU backend here
+    assert e.native_loaded == []
+    e.set_video(video)
+    queries = rng.randn(9, N, 300).astype(np.float32)
+    want_pred, want_score = g.ground(None, queries)
+    pred, score = e.ground(queries)
+    np.testing.assert_array_equal(pred, want_pred)
+    np.testing.assert_allclose(score, want_score, rtol=1e-5, atol=1e-6)
+
+
 def test_export_serving_tool(tmp_path):
     """tools/export_serving.py end-to-end: train a tiny run through the
     real driver, export its checkpoint via the CLI tool (params.json for

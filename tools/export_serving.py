@@ -100,11 +100,24 @@ def main():
         print(f'corpus bank: {pack.num_videos} videos '
               f'({args.bank_dtype}) from {args.corpus}')
 
-    manifest = export_grounder(g, args.out, platforms=platforms)
+    g_tpu = None
+    if platforms and 'tpu' in platforms:
+        # beside the portable scan-recurrence functions, bundle
+        # TPU-native Pallas-fused variants (same weights; Mosaic lowers
+        # ahead-of-time, so no TPU needed here) — the loader prefers
+        # them on TPU backends
+        g_tpu = MultiQueryGrounder(dict(params, fused_inference=True),
+                                   payload['params'],
+                                   query_batch=args.query_batch)
+        print('bundling TPU-native fused variants beside the portable ones')
+
+    manifest = export_grounder(g, args.out, platforms=platforms,
+                               tpu_grounder=g_tpu)
     size = sum(os.path.getsize(os.path.join(args.out, f))
                for f in os.listdir(args.out))
     print(f'exported {manifest["functions"]} for T={manifest["video_len"]}, '
           f'Q={manifest["query_batch"]}, platforms={manifest["platforms"]} '
+          f'(tpu-native: {manifest["tpu_native"]}) '
           f'-> {args.out} ({size / 2**20:.1f} MiB)')
 
 

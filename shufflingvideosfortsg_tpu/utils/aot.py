@@ -217,7 +217,7 @@ class ExportedGrounder:
     (equality-tested against the live grounder).
     """
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, prefer_native: bool = True):
         with open(os.path.join(path, MANIFEST)) as f:
             self.manifest = json.load(f)
         if self.manifest.get("format") != "svtsg-aot-v1":
@@ -226,8 +226,9 @@ class ExportedGrounder:
         # a portable bundle may carry TPU-native (Pallas-fused) variants
         # beside the cross-platform XLA-scan ones; serve those when we
         # find ourselves on a TPU backend (full kernel speed), fall back
-        # to the portable files anywhere else
-        on_tpu = jax.default_backend() == "tpu"
+        # to the portable files anywhere else (prefer_native=False forces
+        # the portable files even on TPU — for A/B measurement)
+        on_tpu = prefer_native and jax.default_backend() == "tpu"
         native = set(self.manifest.get("tpu_native") or ())
         self.native_loaded = []
         for name in self.manifest["functions"]:
@@ -342,5 +343,6 @@ class ExportedGrounder:
             token_ids, video_ids, jnp.int32)
 
 
-def load_grounder_artifact(path: str) -> ExportedGrounder:
-    return ExportedGrounder(path)
+def load_grounder_artifact(path: str,
+                           prefer_native: bool = True) -> ExportedGrounder:
+    return ExportedGrounder(path, prefer_native=prefer_native)

@@ -1,0 +1,136 @@
+#!/usr/bin/env python3
+"""A/B the AOT serving artifact's two TPU flavors on the chip.
+
+Exports ONE dual bundle (portable scan-recurrence functions lowered for
+cpu+tpu, PLUS TPU-native Pallas-fused ``<name>.tpu.stablehlo`` variants
+— utils/aot.py), then serves the same token-id traffic through both
+loads and through the live grounder:
+
+- ``native``   — loader default on TPU: the fused variants
+- ``portable`` — ``prefer_native=False``: what a portable-only bundle
+  (or any pre-dual artifact) would serve on TPU
+- ``live``     — the in-process MultiQueryGrounder, for reference
+
+Spans must agree across all three (asserted); the printed JSON lines
+quantify what the bundled native variants buy on TPU.
+
+    python tools/bench_aot.py [--t 128] [--batch 512] [--iters 30]
+"""
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import jax  # noqa: E402
+
+if os.environ.get('SVTSG_PLATFORM'):
+    jax.config.update('jax_platforms', os.environ['SVTSG_PLATFORM'])
+
+import jax.numpy as jnp  # noqa: E402
+
+from shufflingvideosfortsg_tpu.config import load_config  # noqa: E402
+from shufflingvideosfortsg_tpu.models import build_model  # noqa: E402
+from shufflingvideosfortsg_tpu.serving import MultiQueryGrounder  # noqa: E402
+from shufflingvideosfortsg_tpu.utils.aot import (  # noqa: E402
+    export_grounder, load_grounder_artifact)
+
+
+def measure(fn, warmup, iters, batch):
+    fn()  # compile + warm
+    for _ in range(warmup):
+        fn()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn()
+    dt = time.perf_counter() - t0
+    return iters * batch / dt, out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--t', type=int, default=128)
+    ap.add_argument('--batch', type=int, default=512)
+    ap.add_argument('--iters', type=int, default=30)
+    ap.add_argument('--warmup', type=int, default=3)
+    ap.add_argument('--out', default=None,
+                    help='artifact dir (default: fresh tempdir)')
+    args = ap.parse_args()
+    T, N, Dv = args.t, 15, 1024
+
+    params = load_config(None, overrides={
+        'video_len': T, 'sent_len': N, 'video_feature_dim': Dv,
+        'precision': 'bf16', 'fused_inference': False})
+    model = build_model(params, 'gmd', inference=True)
+    rng = np.random.RandomState(0)
+    mt = jnp.ones((2, T), jnp.int32)
+    mn = jnp.ones((2, N), jnp.int32)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((2, N, 300)), mn,
+        jnp.zeros((2, T, Dv)), mt, jnp.zeros((2, T, Dv)), mt,
+        mt, mt, mt, mt, mt, mt)
+
+    g = MultiQueryGrounder(params, variables['params'],
+                           query_batch=args.batch)
+    g.set_video(rng.randn(T, Dv).astype(np.float32))
+    emb = rng.randn(1294, 300).astype(np.float32)
+    g.set_vocab(emb)
+    g_tpu = MultiQueryGrounder(dict(params, fused_inference=True),
+                               variables['params'],
+                               query_batch=args.batch)
+
+    out_dir = args.out or tempfile.mkdtemp(prefix='aot_ab_')
+    manifest = export_grounder(g, out_dir, platforms=('cpu', 'tpu'),
+                               tpu_grounder=g_tpu)
+    print(f'artifact: {out_dir} tpu_native={manifest["tpu_native"]}',
+          file=sys.stderr)
+
+    token_ids = rng.randint(0, 1294, size=(args.batch, N)).astype(np.int32)
+    results = {}
+    preds = {}
+    for flavor, prefer in (('portable', False), ('native', True)):
+        e = load_grounder_artifact(out_dir, prefer_native=prefer)
+        e.set_video(np.random.RandomState(7).randn(T, Dv)
+                    .astype(np.float32))
+        qps, out = measure(lambda: e.ground_tokens_video(token_ids),
+                           args.warmup, args.iters, args.batch)
+        results[flavor] = qps
+        preds[flavor] = out[0]
+        print(json.dumps({
+            'metric': f'aot_artifact_serving_qps_T{T}_{flavor}',
+            'value': round(qps, 1), 'unit': 'queries/s',
+            'native_loaded': e.native_loaded}), flush=True)
+
+    g.set_video(np.random.RandomState(7).randn(T, Dv).astype(np.float32))
+    qps_live, out_live = measure(
+        lambda: g.ground_tokens_video(token_ids),
+        args.warmup, args.iters, args.batch)
+    print(json.dumps({
+        'metric': f'aot_artifact_serving_qps_T{T}_live_scan',
+        'value': round(qps_live, 1), 'unit': 'queries/s'}), flush=True)
+
+    # portable load == live scan grounder bit-exactly (same recurrence);
+    # the fused kernel matches scan numerics to f32 rounding, so allow
+    # the rare argmax tie to flip a span
+    np.testing.assert_array_equal(preds['portable'], out_live[0])
+    agree = float(np.mean(np.all(
+        np.asarray(preds['portable']) == np.asarray(preds['native']),
+        axis=-1)))
+    assert agree >= 0.99, f'native/portable span agreement {agree}'
+    print(json.dumps({
+        'metric': f'aot_native_vs_portable_speedup_T{T}',
+        'value': round(results['native'] / results['portable'], 3),
+        'unit': 'x',
+        'span_agreement': agree,
+        'note': 'same bundle, same traffic'}), flush=True)
+
+
+if __name__ == '__main__':
+    main()

@@ -134,8 +134,14 @@ def pipeline_blocks(stacked_params, block_module, x: jnp.ndarray,
         idx = jax.lax.axis_index(axis)
         on_first, on_last = idx == 0, idx == n_stages - 1
         perm_r = [(i, i + 1) for i in range(n_stages - 1)]
-        k_stage = (None if dropout_key is None
-                   else jax.random.fold_in(dropout_key, idx))
+        k_stage = dropout_key
+        if k_stage is not None:
+            # fold EVERY mesh axis: stage identity (pipe) AND the batch
+            # shard (data), else data shards of a stage draw identical
+            # masks on a 2D data x pipe mesh
+            for ax in ((axis,) if data_axis is None else (data_axis, axis)):
+                k_stage = jax.random.fold_in(
+                    k_stage, jax.lax.axis_index(ax))
 
         def tick(carry, xs_t):
             buf_x, buf_w = carry

@@ -130,7 +130,12 @@ def make_gmd_train_step(model, params: Dict[str, Any],
     on_device_aug = bool(params.get('on_device_aug', True))
     accum = int(params.get('grad_accum_steps', 1) or 1)
     from ..parallel.fsdp import state_constrainer
-    constrain = state_constrainer(params, mesh) or extra_constrain
+    fsdp_constrain = state_constrainer(params, mesh)
+    if fsdp_constrain and extra_constrain:
+        # compose, FSDP pin last (it owns the final placement)
+        constrain = lambda st: fsdp_constrain(extra_constrain(st))  # noqa: E731
+    else:
+        constrain = fsdp_constrain or extra_constrain
 
     def default_forward(p, batch, pseudo, dropout_key):
         return model.apply(

@@ -259,6 +259,11 @@ class ExportedGrounder:
                 self._bank = jnp.asarray(z["bank"]).astype(dt)
 
     def set_video(self, video_feats: np.ndarray) -> None:
+        if "precompute" not in self._calls:
+            raise ValueError("artifact has no single-video tier (it was "
+                             "exported from a corpus-bank-only grounder; "
+                             "use ground_bank/ground_tokens, or call "
+                             "set_video before export)")
         T, Dv = self.manifest["video_len"], self.manifest["video_feature_dim"]
         if video_feats.shape != (T, Dv):
             raise ValueError(f"artifact was exported for video shape "

@@ -42,10 +42,13 @@ def main():
     corpora = {}
     pooled = []
     for run in args.runs:
-        with open(os.path.join(run, 'learning_multiseed.json')) as f:
+        with open(os.path.join(run, 'learning.json')) as f:
             blk = json.load(f)
         seed = blk['corpus']['seed']
         n_seeds = blk['corpus']['multi_seed']
+        if not n_seeds:
+            raise SystemExit(f'{run}: not a --multi-seed run '
+                             f'(corpus.multi_seed={n_seeds})')
         margins = blk['results']['paired_ood_margins']
         pooled.extend(margins['per_seed'])
         corpora[f'corpus_seed{seed}'] = {
@@ -58,11 +61,11 @@ def main():
 
     pm, ps = mean_std(pooled)
     npos = sum(1 for x in pooled if x > 0)
-    # paired t statistic over the pooled margins (n-1 dof); with n=15
-    # the 97.5% t quantile is 2.145 — report the 95% CI alongside
+    # paired t 95% CI over the pooled margins (n-1 dof)
     n = len(pooled)
     sem = ps / math.sqrt(n)
-    t975 = {14: 2.145, 9: 2.262, 4: 2.776}.get(n - 1, 2.0)
+    from scipy import stats
+    t975 = float(stats.t.ppf(0.975, n - 1))
     ci = (round(pm - t975 * sem, 3), round(pm + t975 * sem, 3))
 
     block = {

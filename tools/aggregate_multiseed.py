@@ -67,6 +67,11 @@ def main():
     from scipy import stats
     t975 = float(stats.t.ppf(0.975, n - 1))
     ci = (round(pm - t975 * sem, 3), round(pm + t975 * sem, 3))
+    # the margins are heavy-tailed (a lucky baseline seed produces a
+    # large negative), so also report the outlier-robust sign test:
+    # P(>= npos positive | H0 margin direction is a coin flip)
+    sign_p = float(stats.binomtest(npos, n, 0.5,
+                                   alternative='two-sided').pvalue)
 
     block = {
         'protocol': (
@@ -81,6 +86,7 @@ def main():
         'pooled_paired_ood_margin': {
             'per_seed': pooled, 'n': n, 'mean': pm, 'std': ps,
             'ci95': list(ci), 'positive': npos,
+            'sign_test_p': round(sign_p, 4),
         },
     }
 

@@ -2,7 +2,7 @@
 """Merge per-corpus multi-seed learning studies into LEARNING.json.
 
 Each ``tools/run_learning.py --multi-seed S`` run leaves a
-``learning_multiseed.json`` in its --out dir: per-training-seed iid/ood
+``learning.json`` in its --out dir: per-training-seed iid/ood
 mIoU for GMD and QAVE (all S seeds trained in ONE vmapped run via
 train/multiseed.py), the chance row, and the per-seed PAIRED ood
 margins (GMD seed k minus QAVE seed k) with mean/std. This tool
@@ -20,6 +20,8 @@ import argparse
 import json
 import math
 import os
+
+import numpy as np
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -34,7 +36,7 @@ def mean_std(xs):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--runs', nargs='+', required=True,
-                    help='run dirs holding learning_multiseed.json')
+                    help='--multi-seed run dirs holding learning.json')
     ap.add_argument('--learning',
                     default=os.path.join(REPO, 'LEARNING.json'))
     args = ap.parse_args()
@@ -73,6 +75,31 @@ def main():
     sign_p = float(stats.binomtest(npos, n, 0.5,
                                    alternative='two-sided').pvalue)
 
+    # how much of the ood margin is iid (content-optimum) luck? pair
+    # the iid margins too and regress them out: the intercept is the
+    # ood margin a seed pair with MATCHED iid quality would show
+    iid_margins = []
+    for c in corpora.values():
+        for pg, pq in zip(c['gmd']['per_seed'], c['qave']['per_seed']):
+            iid_margins.append(round(pg['test_iid'] - pq['test_iid'], 3))
+    im = iid_margins
+    corr = float(np.corrcoef(im, pooled)[0, 1]) if len(im) > 2 else None
+    slope, intercept = [float(v) for v in np.polyfit(im, pooled, 1)]
+    adj = [round(o - slope * i, 3) for o, i in zip(pooled, im)]
+    luck = {
+        'paired_iid_margins': im,
+        'corr_iid_ood': round(corr, 3),
+        'slope': round(slope, 3),
+        'iid_matched_ood_margin': round(intercept, 3),
+        'iid_adjusted_per_seed': adj,
+        'adjusted_positive': sum(1 for x in adj if x > 0),
+        'note': ('ood margins correlate strongly with iid margins: a '
+                 'training seed that finds a better content optimum '
+                 'carries it to the shifted split, for EITHER model. '
+                 'The iid-matched (intercept) margin is the '
+                 'shift-specific component'),
+    }
+
     block = {
         'protocol': (
             'for each independently generated corpus, S training seeds of '
@@ -88,6 +115,7 @@ def main():
             'ci95': list(ci), 'positive': npos,
             'sign_test_p': round(sign_p, 4),
         },
+        'iid_luck_analysis': luck,
     }
 
     with open(args.learning) as f:

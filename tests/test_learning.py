@@ -168,6 +168,77 @@ def test_artifact_provenance(artifact):
             assert isinstance(artifact["results"][model][split], float)
 
 
+def test_aggregate_multiseed_tool(tmp_path):
+    """tools/aggregate_multiseed.py: pooled stats over fabricated
+    multi-seed runs — paired margins, exact t-CI, sign test, and the
+    iid-luck regression — land in the target LEARNING.json."""
+    import math
+    import subprocess
+
+    def fake_run(d, seed, gmd, qave):
+        margins = [round(g[1] - q[1], 3) for g, q in zip(gmd, qave)]
+        blk = {
+            "corpus": {"seed": seed, "multi_seed": len(gmd)},
+            "results": {
+                "chance": {"test_ood": 10.0},
+                "gmd": {"per_seed": [
+                    {"train_seed": i, "test_iid": g[0], "test_ood": g[1]}
+                    for i, g in enumerate(gmd)]},
+                "qave": {"per_seed": [
+                    {"train_seed": i, "test_iid": q[0], "test_ood": q[1]}
+                    for i, q in enumerate(qave)]},
+                "paired_ood_margins": {
+                    "per_seed": margins, "n": len(margins),
+                    "positive": sum(1 for m in margins if m > 0)},
+            },
+        }
+        os.makedirs(d)
+        with open(os.path.join(d, "learning.json"), "w") as f:
+            json.dump(blk, f)
+
+    r1, r2 = str(tmp_path / "r1"), str(tmp_path / "r2")
+    fake_run(r1, 1, gmd=[(70, 30), (71, 32), (69, 28)],
+             qave=[(70, 25), (70, 27), (71, 29)])
+    fake_run(r2, 2, gmd=[(72, 31), (70, 26), (73, 33)],
+             qave=[(71, 28), (72, 30), (70, 27)])
+    target = str(tmp_path / "LEARNING.json")
+    with open(target, "w") as f:
+        json.dump({}, f)
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools/aggregate_multiseed.py"),
+         "--runs", r1, r2, "--learning", target],
+        check=True, capture_output=True)
+
+    rep = json.load(open(target))["multiseed_replication"]
+    pooled = rep["pooled_paired_ood_margin"]
+    margins = [5, 5, -1, 3, -4, 6]
+    assert pooled["per_seed"] == margins
+    assert pooled["n"] == 6 and pooled["positive"] == 4
+    m = sum(margins) / 6
+    assert abs(pooled["mean"] - m) < 1e-3  # tool rounds to 3 decimals
+    sd = math.sqrt(sum((x - m) ** 2 for x in margins) / 5)
+    from scipy import stats
+    t975 = stats.t.ppf(0.975, 5)
+    lo, hi = m - t975 * sd / math.sqrt(6), m + t975 * sd / math.sqrt(6)
+    assert abs(pooled["ci95"][0] - lo) < 1e-2
+    assert abs(pooled["ci95"][1] - hi) < 1e-2
+    assert abs(pooled["sign_test_p"]
+               - stats.binomtest(4, 6, 0.5).pvalue) < 1e-3
+    luck = rep["iid_luck_analysis"]
+    assert luck["paired_iid_margins"] == [0, 1, -2, 1, -2, 3]
+    assert len(luck["iid_adjusted_per_seed"]) == 6
+    # a non-multi-seed run dir is rejected
+    r3 = str(tmp_path / "r3")
+    fake_run(r3, 3, gmd=[(70, 30)], qave=[(70, 25)])
+    blk = json.load(open(os.path.join(r3, "learning.json")))
+    blk["corpus"]["multi_seed"] = 0
+    json.dump(blk, open(os.path.join(r3, "learning.json"), "w"))
+    p = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools/aggregate_multiseed.py"),
+         "--runs", r3, "--learning", target], capture_output=True, text=True)
+    assert p.returncode != 0 and "not a --multi-seed run" in p.stderr
+
+
 # ---------------------------------------------------------------------------
 # 2. live CPU learnability smoke through the real driver
 # ---------------------------------------------------------------------------

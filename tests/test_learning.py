@@ -117,6 +117,23 @@ def test_artifact_multiseed_error_bars(artifact):
     assert pooled["mean"] > 0.0, pooled
 
 
+def test_artifact_stress_recovery_study(artifact):
+    """Round-4 controlled sweep (VERDICT r3 #8): under disjoint shift,
+    neither doubled budget nor 5x auxiliary-loss weights improve on the
+    default's recovery — the below-chance plateau is a method floor.
+    The artifact must show every variant at or below the default."""
+    study = artifact.get("stress_recovery_study")
+    if study is None:
+        pytest.skip("no stress recovery study recorded")
+    default_ood = artifact["extreme_bias_variant"]["results"]["gmd"]["test_ood"]
+    assert len(study["variants"]) >= 4
+    for name, v in study["variants"].items():
+        assert v["gmd"]["test_ood"] <= default_ood + 0.5, (name, v)
+        # the variants still learn content (the floor is positional)
+        assert v["gmd"]["test_iid"] > 60.0, (name, v)
+    assert "method floor" in study["conclusion"].lower()
+
+
 def test_artifact_anet_dims_learning(artifact):
     """ANet-dims replication (VERDICT r3 #4): the same protocol at
     T=240 / sent_len=25 / lr_step=[15] (the reference's anet_cd_i3d

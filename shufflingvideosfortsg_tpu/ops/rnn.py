@@ -157,10 +157,22 @@ class BiLSTM(nn.Module):
             # is strictly cheaper than the old behaviors (silent lax.scan
             # fallback for B%8!=0; 8x-tiled projection for serving B=1).
             B8 = -(-B // 8) * 8
-            if mode == 'train' and \
-                    _bwd_kernel_vmem_bytes(B8, H, itemsize) \
-                    > _BWD_VMEM_BUDGET:
-                mode = False  # over VMEM budget -> differentiable scan
+            train_B = B8
+            if mode == 'train':
+                # batches beyond the backward kernel's VMEM budget split
+                # into per-chunk custom-VJP kernel calls (the VJP of the
+                # slice/concat sums each chunk's dW) instead of falling
+                # back to the ~2.5x-slower differentiable scan — the
+                # round-3 large-B training cliff was exactly that silent
+                # fallback (docs/KERNELS.md B-sweep)
+                while train_B > 8 and (
+                        _bwd_kernel_vmem_bytes(train_B, H, itemsize)
+                        > _BWD_VMEM_BUDGET or B8 % train_B
+                        or train_B % 8):
+                    train_B -= 8
+                if _bwd_kernel_vmem_bytes(train_B, H, itemsize) \
+                        > _BWD_VMEM_BUDGET:
+                    mode = False  # even one 8-row chunk won't fit
             kernel_B = B8
             if mode in (True, 'eval'):
                 # batches beyond the kernel's VMEM budget run as several
@@ -197,7 +209,15 @@ class BiLSTM(nn.Module):
                     xw = jnp.pad(xw, ((0, 0), (0, B8 - B), (0, 0)))
                 w_c = w_hh.astype(self.dtype)
                 if mode == 'train':
-                    out, h_f, c_f = lstm_flat_fused(xw, w_c)
+                    if train_B == B8:
+                        out, h_f, c_f = lstm_flat_fused(xw, w_c)
+                    else:
+                        parts = [lstm_flat_fused(
+                            xw[:, b0:b0 + train_B], w_c)
+                            for b0 in range(0, B8, train_B)]
+                        out = jnp.concatenate([p[0] for p in parts], axis=1)
+                        h_f = jnp.concatenate([p[1] for p in parts], axis=1)
+                        c_f = jnp.concatenate([p[2] for p in parts], axis=1)
                 elif kernel_B == B8:
                     out, h_f, c_f = lstm_scan_pallas_flat(xw, w_c)
                 else:

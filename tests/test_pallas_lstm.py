@@ -199,11 +199,23 @@ class _nullcontext:
 
 def test_chunked_eval_kernel_path(rng, monkeypatch):
     """Batches over the kernel VMEM budget split into per-chunk kernel
-    calls with identical results."""
+    calls with identical results — and the chunking must actually
+    engage (H kernel-eligible, budget genuinely exceeded; the original
+    version of this test used H=8 / a 10MB fake budget and silently
+    compared scan against scan)."""
+    import shufflingvideosfortsg_tpu.ops.pallas.lstm_scan as ls
     import shufflingvideosfortsg_tpu.ops.rnn as rnn_mod
     monkeypatch.setattr(rnn_mod, '_eval_kernel_vmem_bytes',
-                        lambda B, H, isz: 10 * (1 << 20) if B > 8 else 1)
-    B, T, D, H = 16, 10, 12, 8
+                        lambda B, H, isz: 100 * (1 << 20) if B > 8 else 1)
+    real = ls.lstm_scan_pallas_flat
+    calls = []
+
+    def counting(xw, w_hh, **kw):
+        calls.append(xw.shape)
+        return real(xw, w_hh, **kw)
+
+    monkeypatch.setattr(ls, 'lstm_scan_pallas_flat', counting)
+    B, T, D, H = 16, 6, 12, 128
     x = jnp.asarray(rng.randn(B, T, D).astype(np.float32))
     ref = rnn_mod.BiLSTM(hidden_size=H, num_layers=2)
     variables = ref.init(jax.random.PRNGKey(0), x)
@@ -211,9 +223,13 @@ def test_chunked_eval_kernel_path(rng, monkeypatch):
     fz = rnn_mod.BiLSTM(hidden_size=H, num_layers=2, fused='eval')
     with pltpu.force_tpu_interpret_mode():
         o1, h1, c1 = fz.apply(variables, x)
-    np.testing.assert_allclose(np.asarray(o0), np.asarray(o1), atol=1e-5)
-    np.testing.assert_allclose(np.asarray(h0), np.asarray(h1), atol=1e-5)
-    np.testing.assert_allclose(np.asarray(c0), np.asarray(c1), atol=1e-5)
+    assert len(calls) == 4 and all(s[1] == 8 for s in calls), calls
+    np.testing.assert_allclose(np.asarray(o0), np.asarray(o1),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(h0), np.asarray(h1),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(c0), np.asarray(c1),
+                               atol=1e-4, rtol=1e-4)
 
 
 @pytest.mark.parametrize("T,B,H", [(12, 4, 8), (7, 2, 8), (16, 8, 16),
@@ -314,3 +330,55 @@ def test_flat_kernel_matches_scan(rng, T, B, H):
                                np.asarray(want_out)[::-1, 1], atol=1e-6)
     np.testing.assert_allclose(np.asarray(hT), np.asarray(want_h), atol=1e-6)
     np.testing.assert_allclose(np.asarray(cT), np.asarray(want_c), atol=1e-6)
+
+
+def test_chunked_train_kernel_matches_scan(rng, monkeypatch):
+    """Training batches over the backward kernel's VMEM budget split
+    into per-chunk custom-VJP kernel calls (round-4: previously a
+    silent fallback to the slower differentiable scan — the large-B
+    training cliff). Outputs AND gradients must equal the lax.scan
+    module, and chunking must actually engage."""
+    import shufflingvideosfortsg_tpu.ops.pallas.lstm_scan as ls
+    import shufflingvideosfortsg_tpu.ops.rnn as rnn_mod
+
+    # force the chunk search to land on 8-row chunks
+    monkeypatch.setattr(
+        rnn_mod, '_bwd_kernel_vmem_bytes',
+        lambda B, H, isz: (100 * (1 << 20) if B > 8 else 1))
+    real_fused = ls.lstm_flat_fused
+    calls = []
+
+    def counting_fused(xw, w_hh):
+        calls.append(xw.shape)
+        return real_fused(xw, w_hh)
+
+    monkeypatch.setattr(ls, 'lstm_flat_fused', counting_fused)
+
+    B, T, D, H = 16, 5, 12, 128  # H%128==0: kernel-eligible
+    x = jnp.asarray(rng.randn(B, T, D).astype(np.float32))
+    ref = rnn_mod.BiLSTM(hidden_size=H, num_layers=1)
+    variables = ref.init(jax.random.PRNGKey(0), x)
+
+    def loss(mod, v, ctx):
+        def f(params, x):
+            out, hn, cn = mod.apply({'params': params}, x)
+            return (jnp.sum(out ** 2) + jnp.sum(hn ** 2)
+                    + jnp.sum(cn ** 2)), (out, hn, cn)
+        with ctx:  # interpret mode must cover fwd AND bwd tracing
+            (val, outs), grads = jax.value_and_grad(
+                f, has_aux=True)(v['params'], x)
+        return val, outs, grads
+
+    v0, o0, g0 = loss(ref, variables, _nullcontext())
+    fz = rnn_mod.BiLSTM(hidden_size=H, num_layers=1, fused='train')
+    v1, o1, g1 = loss(fz, variables, pltpu.force_tpu_interpret_mode())
+
+    assert len(calls) == 2 and all(s[1] == 8 for s in calls), calls
+    assert float(v0) == pytest.approx(float(v1), rel=1e-5)
+    for a, b in zip(o0, o1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-3)

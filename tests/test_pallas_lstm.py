@@ -44,8 +44,10 @@ def test_kernel_matches_scan(rng, T, B, H):
 
 
 def test_fused_bilstm_module_matches_scan_module(rng):
-    """BiLSTM(fused=True) under interpret mode == BiLSTM(fused=False)."""
-    B, T, D, H = 3, 10, 12, 8
+    """BiLSTM(fused=True) under interpret mode == BiLSTM(fused=False).
+    H=128: the module's Mosaic lane-alignment guard routes H%128!=0 to
+    lax.scan, so a sub-128 H here would compare scan against scan."""
+    B, T, D, H = 3, 10, 12, 128
     x = jnp.asarray(rng.randn(B, T, D).astype(np.float32))
     ref = BiLSTM(hidden_size=H, num_layers=2)
     variables = ref.init(jax.random.PRNGKey(0), x)
@@ -77,8 +79,10 @@ def test_scdm_fused_matches_reference_path(rng):
 
 
 def test_fused_train_gradients_match_scan(rng):
-    """custom-VJP fused kernel: gradients equal to lax.scan autodiff."""
-    B, T, D, H = 4, 10, 12, 8
+    """custom-VJP fused kernel: gradients equal to lax.scan autodiff.
+    H=128 so the module's lane-alignment guard keeps the kernel path
+    engaged (H=8 would silently compare scan against scan)."""
+    B, T, D, H = 4, 10, 12, 128
     x = jnp.asarray(rng.randn(B, T, D).astype(np.float32))
     ref = BiLSTM(hidden_size=H, num_layers=2)
     variables = ref.init(jax.random.PRNGKey(0), x)
@@ -132,8 +136,10 @@ def test_gmd_train_step_fused_matches_scan(rng):
                                                        make_optimizer)
     from shufflingvideosfortsg_tpu.train.steps import make_gmd_train_step
 
+    # 128-wide RNN hiddens: the module's lane-alignment guard routes
+    # H%128!=0 to lax.scan, so smaller hiddens would test scan vs scan
     T, N, DV, B = 12, 5, 16, 4
-    kwargs = dict(sent_hidden=8, sent_layers=1, video_hidden=8,
+    kwargs = dict(sent_hidden=128, sent_layers=1, video_hidden=128,
                   video_layers=1, nblocks=2, cross_name='vs',
                   predictor_name='mlp', mlp_hidden_dim=8, span_hidden_dim=8,
                   video_if_mask=False, dropout=0.0, m_temp='none',
@@ -181,8 +187,11 @@ def test_gmd_train_step_fused_matches_scan(rng):
             new_state, m = step(state, batch, jax.random.PRNGKey(7))
         results.append((jax.device_get(m), jax.device_get(new_state.params)))
     (m0, p0), (m1, p1) = results
+    # kernel vs scan: equal to f32 reassociation (loss_inter is a KL
+    # that lands near 0 here, so give it an absolute floor too)
     for k in ('loss', 'loss_g', 'loss_intra', 'loss_inter', 'loss_d'):
-        assert float(m0[k]) == pytest.approx(float(m1[k]), rel=1e-5), k
+        assert float(m0[k]) == pytest.approx(float(m1[k]), rel=2e-3,
+                                             abs=1e-7), k
     for a, b in zip(jax.tree_util.tree_leaves(p0),
                     jax.tree_util.tree_leaves(p1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),

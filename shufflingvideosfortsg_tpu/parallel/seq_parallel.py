@@ -162,9 +162,16 @@ def lstm_flat_time_sharded(xw, w_hh, mesh, axis: str = DATA_AXIS):
         cb_g = jax.lax.psum(jnp.where(on_first, f_cb, 0), axis)
         return out, jnp.stack([hf_g, hb_g]), jnp.stack([cf_g, cb_g])
 
+    # check_vma=False: under the vma-typed transpose (jax >= 0.8 default)
+    # reverse-mode silently DROPS the replicated w_hh's cotangent
+    # contributions that flow through the pipeline carries — d_xw stays
+    # exact but d_whh loses the carry-path terms (measured: h/c-loss
+    # d_whh ~ 0 at n=2). With the untyped transpose both gradients equal
+    # the plain-scan autodiff to f32 rounding
+    # (tests/test_seq_parallel.py::test_time_sharded_gradients).
     run = jax.shard_map(local, mesh=mesh,
                         in_specs=(P(axis), P()),
-                        out_specs=(P(axis), P(), P()))
+                        out_specs=(P(axis), P(), P()), check_vma=False)
     return run(xw, w_hh)
 
 

@@ -111,3 +111,34 @@ def test_set_video_sharded_equals_set_video(rng8):
     p_sp, s_sp = g.ground(None, queries)
     np.testing.assert_array_equal(p_sp, p_rep)
     np.testing.assert_allclose(s_sp, s_rep, rtol=1e-4, atol=1e-5)
+
+
+def test_time_sharded_gradients(rng8):
+    """Reverse-mode through the wavefront pipeline: d_xw and d_whh equal
+    the n=1 plain-scan autodiff. Pinned at n=2 — the n=8 CPU backward
+    trips an XLA CPU-runtime collective-scheduling race (threads reach
+    the transposed ppermute/psum in inconsistent order and the rendezvous
+    aborts); TPU executes collectives in program order. Also a
+    regression test for the vma-typed transpose silently dropping the
+    replicated w_hh's carry-path cotangents (fixed via check_vma=False
+    in lstm_flat_time_sharded)."""
+    from jax.sharding import Mesh
+
+    Tg, Bg, Hg = 32, 2, 8
+    xw = jnp.asarray(
+        rng8.standard_normal((Tg, Bg, 8 * Hg)).astype(np.float32))
+    w_hh = jnp.asarray(
+        (rng8.standard_normal((2, Hg, 4 * Hg)) * 0.1).astype(np.float32))
+
+    def loss(xw, w_hh, mesh):
+        out, h, c = lstm_flat_time_sharded(xw, w_hh, mesh)
+        return jnp.sum(out ** 2) + jnp.sum(h ** 2) + jnp.sum(c ** 2)
+
+    m1 = Mesh(np.array(jax.devices()[:1]), ('data',))
+    m2 = Mesh(np.array(jax.devices()[:2]), ('data',))
+    g1 = jax.grad(loss, argnums=(0, 1))(xw, w_hh, m1)
+    g2 = jax.grad(loss, argnums=(0, 1))(xw, w_hh, m2)
+    np.testing.assert_allclose(np.asarray(g2[0]), np.asarray(g1[0]),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g2[1]), np.asarray(g1[1]),
+                               atol=1e-5, rtol=1e-5)

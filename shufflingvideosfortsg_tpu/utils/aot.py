@@ -241,9 +241,13 @@ class ExportedGrounder:
                 exp = jax_export.deserialize(f.read())
             self._calls[name] = jax.jit(exp.call)
         with open(os.path.join(path, WEIGHTS), "rb") as f:
-            self.weights = serialization.msgpack_restore(f.read())
+            weights_host = serialization.msgpack_restore(f.read())
+        # device_put ONCE: numpy leaves passed to jit re-upload every
+        # call (measured through the remote relay: a 53 MB weight tree
+        # per call collapsed serving 20x below the live grounder)
+        self.weights = jax.device_put(weights_host)
         vocab_path = os.path.join(path, VOCAB)
-        self._emb = jnp.asarray(np.load(vocab_path)) \
+        self._emb = jax.device_put(np.load(vocab_path)) \
             if os.path.isfile(vocab_path) else None
         self.query_batch = int(self.manifest["query_batch"])
         self._rnn0 = None

@@ -87,6 +87,19 @@ def test_exported_equals_live_tokens(artifact_env):
     np.testing.assert_allclose(score, want_score, rtol=1e-5, atol=1e-6)
 
 
+def test_loader_commits_weights_to_device(artifact_env):
+    """The loader must device_put the restored weight tree (and vocab):
+    numpy leaves passed into jit re-upload on EVERY call — measured
+    through the remote relay this collapsed artifact serving ~20x
+    below the live grounder."""
+    _, out, _, _, _, _ = artifact_env
+    e = load_grounder_artifact(out)
+    for leaf in jax.tree_util.tree_leaves(e.weights):
+        assert isinstance(leaf, jax.Array), type(leaf)
+    if e._emb is not None:
+        assert isinstance(e._emb, jax.Array)
+
+
 def test_wrong_video_shape_rejected(artifact_env):
     _, out, _, _, _, _ = artifact_env
     e = load_grounder_artifact(out)

@@ -208,25 +208,18 @@ class BiLSTM(nn.Module):
                 if B8 != B:
                     xw = jnp.pad(xw, ((0, 0), (0, B8 - B), (0, 0)))
                 w_c = w_hh.astype(self.dtype)
+                def chunked(fn, chunk):
+                    if chunk == B8:
+                        return fn(xw, w_c)
+                    parts = [fn(xw[:, b0:b0 + chunk], w_c)
+                             for b0 in range(0, B8, chunk)]
+                    return tuple(jnp.concatenate([p[i] for p in parts],
+                                                 axis=1) for i in range(3))
+
                 if mode == 'train':
-                    if train_B == B8:
-                        out, h_f, c_f = lstm_flat_fused(xw, w_c)
-                    else:
-                        parts = [lstm_flat_fused(
-                            xw[:, b0:b0 + train_B], w_c)
-                            for b0 in range(0, B8, train_B)]
-                        out = jnp.concatenate([p[0] for p in parts], axis=1)
-                        h_f = jnp.concatenate([p[1] for p in parts], axis=1)
-                        c_f = jnp.concatenate([p[2] for p in parts], axis=1)
-                elif kernel_B == B8:
-                    out, h_f, c_f = lstm_scan_pallas_flat(xw, w_c)
+                    out, h_f, c_f = chunked(lstm_flat_fused, train_B)
                 else:
-                    parts = [lstm_scan_pallas_flat(
-                        xw[:, b0:b0 + kernel_B], w_c)
-                        for b0 in range(0, B8, kernel_B)]
-                    out = jnp.concatenate([p[0] for p in parts], axis=1)
-                    h_f = jnp.concatenate([p[1] for p in parts], axis=1)
-                    c_f = jnp.concatenate([p[2] for p in parts], axis=1)
+                    out, h_f, c_f = chunked(lstm_scan_pallas_flat, kernel_B)
                 out = out.astype(self.dtype)
                 h_f = h_f.astype(self.dtype)[:, :B]
                 c_f = c_f.astype(self.dtype)[:, :B]

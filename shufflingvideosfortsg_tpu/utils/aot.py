@@ -106,15 +106,13 @@ def export_grounder(grounder, out_dir: str,
     kw = dict(platforms=tuple(platforms)) if platforms else {}
 
     p_spec = _spec_tree(params_host)
-    specs, fns = {}, {}
+    specs = {}
     if rnn0 is not None:
         specs["precompute"] = (
             p_spec, jax.ShapeDtypeStruct((1, T, Dv), jnp.float32))
         specs["serve_features"] = (
             p_spec, _spec_tree(rnn0),
             jax.ShapeDtypeStruct((Q, N, 300), jnp.float32))
-        fns["precompute"] = grounder._precompute
-        fns["serve_features"] = grounder._serve
     emb = None
     if grounder._resident_emb is not None:
         emb = np.asarray(jax.device_get(grounder._resident_emb), np.float32)
@@ -123,7 +121,6 @@ def export_grounder(grounder, out_dir: str,
             specs["serve_tokens"] = (
                 p_spec, _spec_tree(rnn0), _spec_tree(emb),
                 jax.ShapeDtypeStruct((Q, N), jnp.int32))
-            fns["serve_tokens"] = grounder._serve_tokens
     num_videos = bank_dtype = None
     if bank is not None:
         bank_host = jax.device_get(bank)
@@ -131,12 +128,10 @@ def export_grounder(grounder, out_dir: str,
         specs["serve_bank"] = (
             p_spec, _spec_tree(bank_host),
             jax.ShapeDtypeStruct((Q, N, 300), jnp.float32), ids_spec)
-        fns["serve_bank"] = grounder._serve_multi
         if emb is not None:
             specs["serve_bank_tokens"] = (
                 p_spec, _spec_tree(bank_host), _spec_tree(emb),
                 jax.ShapeDtypeStruct((Q, N), jnp.int32), ids_spec)
-            fns["serve_bank_tokens"] = grounder._serve_multi_tokens
         if isinstance(bank_host, tuple):  # int8 tier: (values, scales)
             np.savez(os.path.join(out_dir, BANK),
                      bank_q=np.asarray(bank_host[0]),
@@ -150,6 +145,10 @@ def export_grounder(grounder, out_dir: str,
             np.savez(os.path.join(out_dir, BANK),
                      bank=arr.astype(np.float32))
         num_videos = int(jax.tree.leaves(bank_host)[0].shape[0])
+
+    # one source of truth for name -> serving fn (also used for the
+    # tpu-native variants below); filtered by which tiers are resident
+    fns = {name: _fn_table(grounder)[name] for name in specs}
 
     exported_names = []
     for name, spec in specs.items():

@@ -52,6 +52,10 @@ def main():
             raise SystemExit(f'{run}: not a --multi-seed run '
                              f'(corpus.multi_seed={n_seeds})')
         margins = blk['results']['paired_ood_margins']
+        if f'corpus_seed{seed}' in corpora:
+            raise SystemExit(
+                f'{run}: corpus seed {seed} already aggregated from an '
+                f'earlier --runs dir — each corpus draw must appear once')
         pooled.extend(margins['per_seed'])
         corpora[f'corpus_seed{seed}'] = {
             'train_seeds': n_seeds,
@@ -83,22 +87,26 @@ def main():
         for pg, pq in zip(c['gmd']['per_seed'], c['qave']['per_seed']):
             iid_margins.append(round(pg['test_iid'] - pq['test_iid'], 3))
     im = iid_margins
-    corr = float(np.corrcoef(im, pooled)[0, 1]) if len(im) > 2 else None
-    slope, intercept = [float(v) for v in np.polyfit(im, pooled, 1)]
-    adj = [round(o - slope * i, 3) for o, i in zip(pooled, im)]
-    luck = {
-        'paired_iid_margins': im,
-        'corr_iid_ood': round(corr, 3),
-        'slope': round(slope, 3),
-        'iid_matched_ood_margin': round(intercept, 3),
-        'iid_adjusted_per_seed': adj,
-        'adjusted_positive': sum(1 for x in adj if x > 0),
-        'note': ('ood margins correlate strongly with iid margins: a '
-                 'training seed that finds a better content optimum '
-                 'carries it to the shifted split, for EITHER model. '
-                 'The iid-matched (intercept) margin is the '
-                 'shift-specific component'),
-    }
+    if len(im) > 2:
+        corr = float(np.corrcoef(im, pooled)[0, 1])
+        slope, intercept = [float(v) for v in np.polyfit(im, pooled, 1)]
+        adj = [round(o - slope * i, 3) for o, i in zip(pooled, im)]
+        luck = {
+            'paired_iid_margins': im,
+            'corr_iid_ood': round(corr, 3),
+            'slope': round(slope, 3),
+            'iid_matched_ood_margin': round(intercept, 3),
+            'iid_adjusted_per_seed': adj,
+            'adjusted_positive': sum(1 for x in adj if x > 0),
+            'note': ('ood margins correlate strongly with iid margins: a '
+                     'training seed that finds a better content optimum '
+                     'carries it to the shifted split, for EITHER model. '
+                     'The iid-matched (intercept) margin is the '
+                     'shift-specific component'),
+        }
+    else:
+        luck = {'note': f'skipped: {len(im)} seed pairs is too few for '
+                        f'the regression'}
 
     block = {
         'protocol': (

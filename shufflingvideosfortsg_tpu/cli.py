@@ -152,16 +152,22 @@ def init_model_params(model, params, key, kind: str):
 def _collect_predictions(pred_dict, batch, pred_time, score,
                          pred_topk=None, score_topk=None):
     n = batch['n_valid']
-    ts = np.asarray(batch['timestps'])
-    dur = np.asarray(batch['duration'])
+    # bulk ndarray->list conversion (one C-level pass per array) — the
+    # per-row .tolist() calls were ~40% of the warm driver's loop time
+    # at 2,000 sentences
+    pt_l = np.asarray(pred_time).tolist()
+    ts_l = np.asarray(batch['timestps']).tolist()
+    sc_l = np.asarray(score, np.float64).tolist()
+    dur_l = np.asarray(batch['duration'], np.float64).tolist()
+    results = pred_dict['results']
     for i in range(n):
         vid = batch['vid'][i]
         entry = {
             'sentence': batch['sentence'][i],
-            'timestamp': pred_time[i].tolist(),
-            'gt_timestamp': ts[i].tolist(),
-            'score': float(score[i]),
-            'video_duration': float(dur[i]),
+            'timestamp': pt_l[i],
+            'gt_timestamp': ts_l[i],
+            'score': sc_l[i],
+            'video_duration': dur_l[i],
         }
         if pred_topk is not None:
             # beyond-parity R@k proposals (eval_topk > 1); finite-score
@@ -169,7 +175,7 @@ def _collect_predictions(pred_dict, batch, pred_time, score,
             keep = np.isfinite(np.asarray(score_topk[i]))
             entry['timestamps_topk'] = np.asarray(pred_topk[i])[keep].tolist()
             entry['scores_topk'] = np.asarray(score_topk[i])[keep].tolist()
-        pred_dict['results'].setdefault(vid, []).append(entry)
+        results.setdefault(vid, []).append(entry)
 
 
 def _new_pred_dict(params):
@@ -200,6 +206,29 @@ def _submit_key(base: str) -> str:
     if jax.process_count() > 1:
         return f'{base}.part{jax.process_index()}'
     return base
+
+
+class _PhaseTimer:
+    """Wall-clock attribution of a driver run's phases. ``mark(name)``
+    charges the time since the previous mark to ``name``; ``line()``
+    renders one log line. Used by the test drivers to attribute their
+    fixed (non-loop) cost — the round-4 soak showed the whole-driver
+    wall dominated by ~2.5 s of unattributed host work at small corpus
+    sizes (VERDICT r4 missing #1)."""
+
+    def __init__(self):
+        self.t = time.perf_counter()
+        self.phases: Dict[str, float] = {}
+
+    def mark(self, name: str) -> None:
+        now = time.perf_counter()
+        self.phases[name] = self.phases.get(name, 0.0) + (now - self.t)
+        self.t = now
+
+    def line(self) -> str:
+        total = sum(self.phases.values())
+        parts = ' '.join(f'{k}={v:.3f}s' for k, v in self.phases.items())
+        return f'driver phases ({total:.3f}s total): {parts}'
 
 
 def _write_metrics_json(submit: str, metrics: Dict[str, float]) -> str:
@@ -324,8 +353,42 @@ def _multiseed_save(saver, saveable, step_epoch, key, logger, n_seeds):
 # GMD training driver (train.py)
 # ---------------------------------------------------------------------------
 
+# module-level epoch-scan cache for steps carrying a cache_token (see
+# _banked_eval_epoch): {token: {attr: jitted epoch closure}}
+_EPOCH_SCAN_CACHE: Dict[Any, Dict[Any, Any]] = {}
+
+# device-resident checkpoint cache for the test drivers: shipping a 55 MB
+# f32 param tree over the ~45 MB/s relay link costs ~1.2 s per
+# invocation — the single largest fixed cost of a warm eval after the
+# bank is resident. Sweeps that evaluate one checkpoint on several
+# splits (tools/run_learning.py; the soak protocol's warm pass) reuse
+# the uploaded copy. Keyed by (path, mtime, size, devices); small LRU so
+# a many-checkpoint sweep cannot accumulate HBM.
+_CKPT_DEVICE_CACHE: Dict[Any, Any] = {}
+_CKPT_DEVICE_CACHE_MAX = 4
+
+
+def _load_checkpoint_device(path: str, mesh, torch_kwargs, logger):
+    """Load + replicate checkpoint params, device-cached per process."""
+    st = os.stat(path)
+    key = (os.path.abspath(path), st.st_mtime_ns, st.st_size,
+           tuple(d.id for d in mesh.devices.flat))
+    hit = _CKPT_DEVICE_CACHE.pop(key, None)
+    if hit is not None:
+        _CKPT_DEVICE_CACHE[key] = hit  # re-insert: LRU recency
+        logger.warning('use checkpoint: %s (device-cached)', path)
+        return hit
+    payload, is_ref = load_checkpoint(path, torch_convert_kwargs=torch_kwargs)
+    dev = replicate_tree(mesh, payload['params'])
+    _CKPT_DEVICE_CACHE[key] = dev
+    while len(_CKPT_DEVICE_CACHE) > _CKPT_DEVICE_CACHE_MAX:
+        _CKPT_DEVICE_CACHE.pop(next(iter(_CKPT_DEVICE_CACHE)))
+    logger.warning('use checkpoint: %s (reference-format=%s)', path, is_ref)
+    return dev
+
+
 def _banked_eval_epoch(step, model_params, host_batches, bank, mesh,
-                       keys=None):
+                       keys=None, timer=None, group: int = 1):
     """Run a whole eval epoch as ONE jitted lax.scan over device-resident
     stacked index batches (device-bank mode, single process).
 
@@ -335,16 +398,49 @@ def _banked_eval_epoch(step, model_params, host_batches, bank, mesh,
     split), the scan executes every batch on device, and the outputs fetch
     once. ``keys`` (one PRNG key per batch) threads the valid step's
     on-device pseudo-video draws.
+
+    ``group`` > 1 vmaps G loader batches per scan step (effective batch
+    G*B): the driver's reference-parity B=32 underfills the MXU badly —
+    the recurrence is latency-bound — so executing 8 batches per tick
+    approaches the B=256 device-resident throughput while per-batch
+    metrics/outputs keep their exact per-batch shapes (vmap semantics).
+    The epoch pads to a multiple of G by repeating the last stacked batch
+    and slices the outputs back.
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
     from .parallel.mesh import DATA_AXIS, replicated_sharding
+
+    def mark(name):
+        if timer is not None:
+            timer.mark(name)
 
     arrays = {}
     for k in host_batches[0]:
         if k in ('vid', 'sentence', 'n_valid'):
             continue
         arrays[k] = np.stack([np.asarray(b[k]) for b in host_batches])
-    sharding = NamedSharding(mesh, P(None, DATA_AXIS))
+    n_real = len(host_batches)
+    if jax.process_count() > 1:
+        group = 1  # multi-host stripes assemble along the batch axis
+    group = max(1, min(int(group), n_real))
+    if group > 1:
+        pad = -n_real % group
+        if pad:
+            arrays = {k: np.concatenate(
+                [v, np.repeat(v[-1:], pad, axis=0)]) for k, v in
+                arrays.items()}
+            if keys is not None:
+                keys = jax.numpy.concatenate(
+                    [keys, jax.numpy.repeat(keys[-1:], pad, axis=0)])
+        arrays = {k: v.reshape((v.shape[0] // group, group) + v.shape[1:])
+                  for k, v in arrays.items()}
+        if keys is not None:
+            keys = keys.reshape((keys.shape[0] // group, group)
+                                + keys.shape[1:])
+    mark('eval_stack')
+    batch_spec = P(None, DATA_AXIS) if group == 1 \
+        else P(None, None, DATA_AXIS)
+    sharding = NamedSharding(mesh, batch_spec)
     multihost = jax.process_count() > 1
     if multihost:
         # each host stacked its own loader stripe (equal batch counts by
@@ -353,22 +449,35 @@ def _banked_eval_epoch(step, model_params, host_batches, bank, mesh,
                for k, v in arrays.items()}
     else:
         dev = {k: jax.device_put(v, sharding) for k, v in arrays.items()}
+    mark('eval_upload')
     inner = step.inner
 
-    # the jitted epoch closure is cached on the step object: a fresh
-    # closure per call would RETRACE (and remote-recompile) the whole
-    # scan on every validation epoch of a training run. The cache key
-    # includes batch count + shapes so a second loader with a different
-    # epoch geometry on the same step gets its own entry instead of a
-    # silent retrace of the shared one.
+    # the jitted epoch closure is cached: a fresh closure per call would
+    # RETRACE (and remote-recompile) the whole scan on every validation
+    # epoch of a training run. The cache key includes batch count +
+    # shapes so a second loader with a different epoch geometry on the
+    # same step gets its own entry instead of a silent retrace of the
+    # shared one. Steps that carry a ``cache_token`` (a value equal for
+    # semantically identical steps — model config + decode options) share
+    # a MODULE-LEVEL cache, so a second driver invocation in the same
+    # process (run_learning sweeps, the soak protocol's warm pass) reuses
+    # the already-traced-and-compiled epoch instead of paying ~1s of
+    # retrace + compile-cache load for a new-but-identical step object;
+    # tokenless steps keep the per-object cache.
     shape_key = tuple(sorted((k, v.shape, str(v.dtype))
                              for k, v in arrays.items()))
+    bank_key = (bank.feats.shape, str(bank.feats.dtype),
+                bank.embeddings.shape, bank.scales is None)
     attr = ('_epoch_scan' if keys is None else '_epoch_scan_keys',
-            shape_key)
-    cache = getattr(step, '_epoch_scan_cache', None)
-    if cache is None:
-        cache = {}
-        step._epoch_scan_cache = cache
+            shape_key, bank_key, multihost)
+    token = getattr(step, 'cache_token', None)
+    if token is not None:
+        cache = _EPOCH_SCAN_CACHE.setdefault(token, {})
+    else:
+        cache = getattr(step, '_epoch_scan_cache', None)
+        if cache is None:
+            cache = {}
+            step._epoch_scan_cache = cache
     epoch = cache.get(attr)
     if epoch is None:
         # multi-host: replicate outputs so every host can fetch them (the
@@ -376,30 +485,56 @@ def _banked_eval_epoch(step, model_params, host_batches, bank, mesh,
         # all-gather of a few hundred KB once per epoch
         jit_kw = dict(out_shardings=replicated_sharding(mesh)) \
             if multihost else {}
+
+        grouped = getattr(step, 'grouped_inner', None)
+
+        def run_one(p, b, kk, feats, emb, scales):
+            b = dict(b)
+            b['bank_feats'] = feats
+            b['bank_emb'] = emb
+            if scales is not None:  # int8 bank tier
+                b['bank_scale'] = scales
+            return inner(p, b) if kk is None else inner(p, b, kk)
+
+        def run_group(p, b, kk, feats, emb, scales):
+            # steps that expose a grouped body execute the G batches as
+            # ONE [G*B] model pass (full MXU width; per-batch metrics
+            # exact); keyed steps and tokenless steps fall back to vmap
+            if grouped is not None and kk is None:
+                b = dict(b)
+                b['bank_feats'] = feats
+                b['bank_emb'] = emb
+                if scales is not None:
+                    b['bank_scale'] = scales
+                return grouped(p, b)
+            if kk is None:
+                return jax.vmap(
+                    lambda bb: run_one(p, bb, None, feats, emb, scales))(b)
+            return jax.vmap(
+                lambda bb, k2: run_one(p, bb, k2, feats, emb, scales)
+            )(b, kk)
+
         if keys is None:
             @functools.partial(jax.jit, **jit_kw)
             def epoch(p, batches, feats, emb, scales):
                 def body(_, b):
-                    b = dict(b)
-                    b['bank_feats'] = feats
-                    b['bank_emb'] = emb
-                    if scales is not None:  # int8 bank tier
-                        b['bank_scale'] = scales
-                    return None, inner(p, b)
+                    if group > 1:
+                        return None, run_group(p, b, None, feats, emb,
+                                               scales)
+                    return None, run_one(p, b, None, feats, emb, scales)
                 return jax.lax.scan(body, None, batches)[1]
         else:
             @functools.partial(jax.jit, **jit_kw)
             def epoch(p, batches, ks, feats, emb, scales):
                 def body(_, xs):
                     b, kk = xs
-                    b = dict(b)
-                    b['bank_feats'] = feats
-                    b['bank_emb'] = emb
-                    if scales is not None:  # int8 bank tier
-                        b['bank_scale'] = scales
-                    return None, inner(p, b, kk)
+                    if group > 1:
+                        return None, run_group(p, b, kk, feats, emb,
+                                               scales)
+                    return None, run_one(p, b, kk, feats, emb, scales)
                 return jax.lax.scan(body, None, (batches, ks))[1]
         cache[attr] = epoch
+    mark('eval_build')
     if keys is None:
         outs = epoch(model_params, dev, bank.feats, bank.embeddings,
                      bank.scales)
@@ -407,6 +542,11 @@ def _banked_eval_epoch(step, model_params, host_batches, bank, mesh,
         outs = epoch(model_params, dev, keys, bank.feats, bank.embeddings,
                      bank.scales)
     fetched = {k: np.asarray(v) for k, v in outs.items()}
+    if group > 1:
+        # [n/G, G, ...] -> [n_padded, ...] -> drop the repeated-pad tail
+        fetched = {k: v.reshape((-1,) + v.shape[2:])[:n_real]
+                   for k, v in fetched.items()}
+    mark('eval_exec')
     if multihost:
         # keep this host's stripe of per-sample outputs so indices line up
         # with the local host_batches (assembly was process-major)
@@ -514,7 +654,8 @@ def _resolve_auto_resume(params) -> Tuple[bool, int]:
     return True, found[1] + 1
 
 
-def _eval_epoch(step, model_params, loader, bank, mesh, key=None):
+def _eval_epoch(step, model_params, loader, bank, mesh, key=None,
+                timer=None, group: int = 1):
     """One eval pass over ``loader``: (host_batches, fetched outputs).
 
     Device-bank single-process runs use the whole-epoch scan
@@ -536,7 +677,8 @@ def _eval_epoch(step, model_params, loader, bank, mesh, key=None):
             keys = jax.numpy.stack(sks)
         return host_batches, _banked_eval_epoch(step, model_params,
                                                 host_batches, bank, mesh,
-                                                keys=keys)
+                                                keys=keys, timer=timer,
+                                                group=group)
     host_batches = []
     acc = OutputAccumulator(len(loader))
     for batch in loader:
@@ -563,6 +705,18 @@ def _pipeline_validate(params) -> int:
         raise ValueError('--pipeline_stages does not compose with '
                          '--multi_seed: the stacked seed axis and the '
                          'stacked stage axis both claim leaf axis 0')
+    if int(params.get('tensor_parallel', 0) or 0) > 1:
+        raise ValueError('--pipeline_stages does not compose with '
+                         '--tensor_parallel: both claim the non-data mesh '
+                         'axis (depth-shard OR width-shard, not both)')
+    if params.get('remat'):
+        # the GPipe path builds its stage blocks outside the flax module,
+        # so the QAVE nn.remat wrapper never applies; be loud instead of
+        # silently dropping the activation-checkpointing request
+        logging.getLogger(__name__).warning(
+            '--remat is ignored with --pipeline_stages: the pipelined '
+            'stage blocks run outside the nn.remat wrapper (microbatch '
+            'activations are already one-microbatch-sized)')
     n_dev = len(jax.devices())
     if n_dev % pp:
         raise ValueError(f'--pipeline_stages={pp} needs a device count '
@@ -570,10 +724,37 @@ def _pipeline_validate(params) -> int:
     return pp
 
 
+def _tp_validate(params) -> int:
+    """Check --tensor_parallel combinations up front. Returns the model-
+    axis width (0 = off)."""
+    tp = int(params.get('tensor_parallel', 0) or 0)
+    if tp <= 1:
+        return 0
+    if params.get('fsdp'):
+        raise ValueError('--tensor_parallel does not compose with --fsdp: '
+                         'TP keeps the state replicated by design (its '
+                         'axis shards recurrence compute/activations); '
+                         'ZeRO-3 placement would fight that layout')
+    if int(params.get('multi_seed', 0) or 0) > 1:
+        raise ValueError('--tensor_parallel does not compose with '
+                         '--multi_seed: the vmapped seed axis cannot wrap '
+                         'the shard_map-ped recurrence')
+    n_dev = len(jax.devices())
+    if n_dev % tp:
+        raise ValueError(f'--tensor_parallel={tp} needs a device count '
+                         f'divisible by it (have {n_dev})')
+    H = int(params['video_rnn_hiddendim'])
+    if H % tp:
+        raise ValueError(f'--tensor_parallel={tp} must divide '
+                         f'video_rnn_hiddendim ({H})')
+    return tp
+
+
 def main_train(params: Dict[str, Any]) -> Dict[str, Any]:
     logger = setup_logger(params['alias'])
     _multiseed_validate(params)
     pp_stages = _pipeline_validate(params)
+    tp_width = _tp_validate(params)
     allow_existing, start_epoch = _resolve_auto_resume(params)
     saver = RunManager(params, allow_existing=allow_existing)
     if pp_stages:
@@ -583,6 +764,13 @@ def main_train(params: Dict[str, Any]) -> Dict[str, Any]:
                     '%s mesh, %d microbatches/step', pp_stages,
                     pp_stages + 1, dict(mesh.shape),
                     int(params.get('pipeline_microbatches', 4)))
+    elif tp_width:
+        from .parallel.tensor_parallel import create_tp_mesh
+        mesh = create_tp_mesh(len(jax.devices()) // tp_width, tp_width)
+        logger.info('tensor parallelism: video recurrences (H=%d) hidden-'
+                    'sharded %d-way on a %s mesh; state replicated',
+                    int(params['video_rnn_hiddendim']), tp_width,
+                    dict(mesh.shape))
     else:
         mesh = create_mesh(params.get('mesh_shape'))
     lg = str(params['vfeat_fn']).lower() == 'lg'
@@ -628,6 +816,12 @@ def main_train(params: Dict[str, Any]) -> Dict[str, Any]:
         train_step = make_gmd_pipelined_train_step(
             model, params, mesh,
             int(params.get('pipeline_microbatches', 4)), lg,
+            assembler=train_bank.assemble if train_bank else None)
+    elif tp_width:
+        from .train.tp import make_gmd_tp_train_step
+        state = _place_state(state, mesh, params, logger)
+        train_step = make_gmd_tp_train_step(
+            model, params, mesh, lg,
             assembler=train_bank.assemble if train_bank else None)
     else:
         state = _place_state(state, mesh, params, logger)
@@ -803,8 +997,9 @@ def run_valid(valid_step, state, loader, dataset, params, logger, epoch,
               submit_suffix: str = '') -> float:
     pred_dict = _new_pred_dict(params)
     t0 = time.time()
-    host_batches, fetched = _eval_epoch(valid_step, state.params, loader,
-                                        bank, mesh, key=key)
+    host_batches, fetched = _eval_epoch(
+        valid_step, state.params, loader, bank, mesh, key=key,
+        group=int(params.get('eval_scan_group', 8)))
     all_metrics = [{k: float(fetched[k][i]) for k in
                     ('loss', 'loss_g', 'loss_intra', 'loss_inter', 'miou')}
                    for i in range(len(host_batches))]
@@ -841,31 +1036,38 @@ def _print_statistics(statistics):
 # ---------------------------------------------------------------------------
 
 def main_test(params: Dict[str, Any]) -> str:
+    pt = _PhaseTimer()
     logger = setup_logger(params['alias'])
     saver = RunManager(params)
     mesh = create_mesh(params.get('mesh_shape'))
     lg = str(params['vfeat_fn']).lower() == 'lg'
 
     model = build_model(params, 'gmd', inference=True)
+    pt.mark('setup')
     test_set = make_dataset(params, 'test_data', 'test_featpath', 'test')
+    pt.mark('dataset')
     test_bank = maybe_device_bank(params, test_set, mesh, logger)
     test_loader = BatchLoader(test_set, params['batch_size'][0],
                               shuffle=False,
                               device_assemble=test_bank is not None,
                               **_loader_kwargs())
+    pt.mark('bank')
 
     key = jax.random.PRNGKey(params.get('seed', 123))
-    model_params = init_model_params(model, params, key, 'gmd')
     if params.get('start_from'):
-        payload, is_ref = load_checkpoint(
-            params['start_from'],
-            torch_convert_kwargs=dict(kind='gmd',
-                                      predictor_name=params['predictor'],
-                                      m_temp=params['m_temp']))
-        model_params = payload['params']
-        logger.warning('use checkpoint: %s (reference-format=%s)',
-                       params['start_from'], is_ref)
-    model_params = replicate_tree(mesh, model_params)
+        # checkpoint params replace the init values wholesale, so skip
+        # model.init entirely: its jit was the dominant fixed cost of the
+        # warm driver (~4.5 s/invocation of compile-cache load for a
+        # result that was thrown away — round-5 phase profile); the
+        # upload itself is device-cached across invocations
+        model_params = _load_checkpoint_device(
+            params['start_from'], mesh,
+            dict(kind='gmd', predictor_name=params['predictor'],
+                 m_temp=params['m_temp']), logger)
+    else:
+        model_params = replicate_tree(
+            mesh, init_model_params(model, params, key, 'gmd'))
+    pt.mark('init')
 
     topk = int(params.get('eval_topk', 1) or 1)
     test_step = make_gmd_test_step(
@@ -873,8 +1075,10 @@ def main_test(params: Dict[str, Any]) -> str:
         topk=topk, topk_nms_iou=float(params.get('topk_nms_iou', 0.5)))
     pred_dict = _new_pred_dict(params)
     t0 = time.time()
-    host_batches, fetched = _eval_epoch(test_step, model_params,
-                                        test_loader, test_bank, mesh)
+    host_batches, fetched = _eval_epoch(
+        test_step, model_params, test_loader, test_bank, mesh, timer=pt,
+        group=int(params.get('eval_scan_group', 8)))
+    pt.mark('eval_loop')
     _log_eval_batches(logger, 'test', fetched, len(host_batches),
                       params['batch_log_interval'],
                       (time.time() - t0) / max(len(host_batches), 1))
@@ -886,13 +1090,23 @@ def main_test(params: Dict[str, Any]) -> str:
             pred_topk=fetched['pred_time_topk'][i] if topk > 1 else None,
             score_topk=fetched['score_topk'][i] if topk > 1 else None)
     submit = saver.save_submits(pred_dict, 0, _submit_key('test_data'))
+    # reference-semantics "elapsed time" — the same scope as the
+    # reference's test() timer (/root/reference/grounding/test.py:85-148:
+    # eval loop + decode + prediction collect + submit write; NOT model
+    # build, checkpoint load, or retrieval_eval)
+    loop_s = time.time() - t0
     logger.info('epoch [%03d]: elapsed time:%0.4fs, avg loss: %03.3f, '
-                'miou: %03.3f', 0, time.time() - t0,
+                'miou: %03.3f', 0, loop_s,
                 float(np.mean(losses)), float(np.mean(mious)))
+    pt.mark('collect_submit')
     # on a multi-host run each shard's table covers this host's stripe;
     # merge the .partN submit shards offline (tools/merge_submits.py) for
     # the global table
-    _write_metrics_json(submit, retrieval_eval(submit))
+    metrics = retrieval_eval(submit)
+    metrics['elapsed_loop_s'] = round(loop_s, 4)
+    _write_metrics_json(submit, metrics)
+    pt.mark('score')
+    logger.info(pt.line())
     return submit
 
 
@@ -1038,8 +1252,9 @@ def run_eval_collect(eval_step, model_params, loader, params, logger, epoch,
                      submit_suffix: str = '') -> float:
     pred_dict = _new_pred_dict(params)
     t0 = time.time()
-    host_batches, fetched = _eval_epoch(eval_step, model_params, loader,
-                                        bank, mesh)
+    host_batches, fetched = _eval_epoch(
+        eval_step, model_params, loader, bank, mesh,
+        group=int(params.get('eval_scan_group', 8)))
     losses = [float(x) for x in fetched['loss']]
     mious = [float(x) for x in fetched['miou']]
     for i, batch in enumerate(host_batches):
@@ -1070,16 +1285,15 @@ def main_test_baseline(params: Dict[str, Any]) -> str:
                               **_loader_kwargs())
 
     key = jax.random.PRNGKey(params.get('seed', 123))
-    model_params = init_model_params(model, params, key, 'baseline')
     if params.get('start_from'):
-        payload, is_ref = load_checkpoint(
-            params['start_from'],
-            torch_convert_kwargs=dict(kind='baseline',
-                                      predictor_name=params['predictor']))
-        model_params = payload['params']
-        logger.warning('use checkpoint: %s (reference-format=%s)',
-                       params['start_from'], is_ref)
-    model_params = replicate_tree(mesh, model_params)
+        # same init-skip + device-cached upload as main_test
+        model_params = _load_checkpoint_device(
+            params['start_from'], mesh,
+            dict(kind='baseline', predictor_name=params['predictor']),
+            logger)
+    else:
+        model_params = replicate_tree(
+            mesh, init_model_params(model, params, key, 'baseline'))
 
     topk = int(params.get('eval_topk', 1) or 1)
     eval_step = make_baseline_eval_step(
@@ -1087,8 +1301,9 @@ def main_test_baseline(params: Dict[str, Any]) -> str:
         topk=topk, topk_nms_iou=float(params.get('topk_nms_iou', 0.5)))
     pred_dict = _new_pred_dict(params)
     t0 = time.time()
-    host_batches, fetched = _eval_epoch(eval_step, model_params,
-                                        test_loader, test_bank, mesh)
+    host_batches, fetched = _eval_epoch(
+        eval_step, model_params, test_loader, test_bank, mesh,
+        group=int(params.get('eval_scan_group', 8)))
     losses = [float(x) for x in fetched['loss']]
     mious = [float(x) for x in fetched['miou']]
     for i, batch in enumerate(host_batches):

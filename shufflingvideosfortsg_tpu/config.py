@@ -120,6 +120,11 @@ DEFAULTS: Dict[str, Any] = {
                                   # of f32, 1/2 of f16; dequant on device)
     "train_scan_chunk": 16,       # train steps per dispatch in bank mode
                                   # (lax.scan chunk; 1 = per-step dispatch)
+    "eval_scan_group": 8,         # loader batches vmapped per epoch-scan
+                                  # tick (effective eval batch G*B; the
+                                  # parity B=32 underfills the MXU ~8x);
+                                  # 1 = one batch per tick; forced 1 on
+                                  # multi-host
     "fsdp": False,                # ZeRO-3 state sharding: params + Adam
                                   # moments split over the data axis
                                   # (parallel/fsdp.py; multi-host gathers
@@ -140,6 +145,14 @@ DEFAULTS: Dict[str, Any] = {
     "pipeline_microbatches": 4,   # GPipe microbatches per step (bubble
                                   # = (stages-1)/(micro+stages-1));
                                   # batch_size/data-shards must divide
+    "tensor_parallel": 0,         # >0: WIDENED GMD (video_rnn_hiddendim
+                                  # 512/1024/...) trained with the video
+                                  # recurrences hidden-sharded over a
+                                  # 'model' mesh axis (train/tp.py);
+                                  # state stays sequential/replicated so
+                                  # checkpoints/test drivers are
+                                  # untouched; excludes --fsdp /
+                                  # --pipeline_stages / --multi_seed
     "remat": False,               # jax.checkpoint each QAVE block: the
                                   # backward recomputes activations
                                   # instead of saving them — for large-B

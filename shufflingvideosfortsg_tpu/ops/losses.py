@@ -36,6 +36,17 @@ def masked_softmax(vec: jnp.ndarray, mask: jnp.ndarray,
     return masked_exps / masked_sums
 
 
+def span_ground_nll(start_prob: jnp.ndarray, end_prob: jnp.ndarray,
+                    framestps: jnp.ndarray) -> jnp.ndarray:
+    """Per-sample -log p_start[s] - log p_end[e], shape [B] (the
+    grouped eval steps mean this over each loader batch separately)."""
+    s = framestps[:, 0]
+    e = framestps[:, 1]
+    ps = jnp.take_along_axis(start_prob, s[:, None], axis=1)[:, 0]
+    pe = jnp.take_along_axis(end_prob, e[:, None], axis=1)[:, 0]
+    return -jnp.log(ps) - jnp.log(pe)
+
+
 def span_ground_loss(start_prob: jnp.ndarray, end_prob: jnp.ndarray,
                      framestps: jnp.ndarray) -> jnp.ndarray:
     """Mean over batch of -log p_start[s] - log p_end[e].
@@ -43,11 +54,7 @@ def span_ground_loss(start_prob: jnp.ndarray, end_prob: jnp.ndarray,
     framestps: [B, 2] int. The reference loops over the batch
     (loss.py:22-28); here it is a pair of gathers.
     """
-    s = framestps[:, 0]
-    e = framestps[:, 1]
-    ps = jnp.take_along_axis(start_prob, s[:, None], axis=1)[:, 0]
-    pe = jnp.take_along_axis(end_prob, e[:, None], axis=1)[:, 0]
-    return jnp.mean(-jnp.log(ps) - jnp.log(pe))
+    return jnp.mean(span_ground_nll(start_prob, end_prob, framestps))
 
 
 def bce_loss(logits: jnp.ndarray, labels: jnp.ndarray,

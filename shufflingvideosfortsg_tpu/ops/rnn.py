@@ -165,10 +165,11 @@ class BiLSTM(nn.Module):
                 # back to the ~2.5x-slower differentiable scan — the
                 # round-3 large-B training cliff was exactly that silent
                 # fallback (docs/KERNELS.md B-sweep)
+                # train_B starts at B8 (a multiple of 8) and steps by 8,
+                # so 8-alignment holds by construction
                 while train_B > 8 and (
                         _bwd_kernel_vmem_bytes(train_B, H, itemsize)
-                        > _BWD_VMEM_BUDGET or B8 % train_B
-                        or train_B % 8):
+                        > _BWD_VMEM_BUDGET or B8 % train_B):
                     train_B -= 8
                 if _bwd_kernel_vmem_bytes(train_B, H, itemsize) \
                         > _BWD_VMEM_BUDGET:
@@ -180,8 +181,7 @@ class BiLSTM(nn.Module):
                 # scan per chunk)
                 while kernel_B > 8 and (
                         _eval_kernel_vmem_bytes(kernel_B, H, itemsize)
-                        > _EVAL_VMEM_BUDGET or B8 % kernel_B
-                        or kernel_B % 8):
+                        > _EVAL_VMEM_BUDGET or B8 % kernel_B):
                     kernel_B -= 8
                 if _eval_kernel_vmem_bytes(kernel_B, H, itemsize) \
                         > _EVAL_VMEM_BUDGET:

@@ -207,12 +207,18 @@ def _greedy_nms(cand: jnp.ndarray, cand_scores: jnp.ndarray, k: int,
     return spans, scores
 
 
-def compute_mean_iou(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
-    """Mean temporal IoU of [B, 2] (s, e) segments (loss.py:72-91 semantics:
-    non-negative intersection, union + 1e-4, no union clamp)."""
+def iou_per_sample(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
+    """Per-sample temporal IoU of [B, 2] (s, e) segments, shape [B]
+    (loss.py:72-91 semantics: non-negative intersection, union + 1e-4,
+    no union clamp)."""
     pred = pred.astype(jnp.float32)
     gt = gt.astype(jnp.float32)
     inter = jnp.minimum(pred[:, 1], gt[:, 1]) - jnp.maximum(pred[:, 0], gt[:, 0])
     inter = jnp.maximum(inter, 0.0)
     union = jnp.maximum(pred[:, 1], gt[:, 1]) - jnp.minimum(pred[:, 0], gt[:, 0])
-    return jnp.mean(inter / (union + DELTA))
+    return inter / (union + DELTA)
+
+
+def compute_mean_iou(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
+    """Mean temporal IoU of [B, 2] (s, e) segments."""
+    return jnp.mean(iou_per_sample(pred, gt))

@@ -78,14 +78,23 @@ def bilstm_hidden_sharded(layer_params: Dict[str, Any], x: jnp.ndarray,
                           mesh: Mesh, num_layers: int,
                           axis: str = MODEL_AXIS,
                           data_axis: Optional[str] = DATA_AXIS,
-                          dtype: Any = jnp.float32) -> jnp.ndarray:
-    """Multi-layer inference BiLSTM with hidden axis sharded over ``axis``.
+                          dtype: Any = jnp.float32,
+                          dropout: float = 0.0,
+                          dropout_key=None) -> jnp.ndarray:
+    """Multi-layer BiLSTM with hidden axis sharded over ``axis``.
 
     layer_params: a flax ops.rnn.BiLSTM param dict ('w_ih_l0' [2, D, 4H],
     'w_hh_l0' [2, H, 4H], 'b_ih_l0'/'b_hh_l0' [2, 4H], ...). x is
     [T, B, D], sharded over B on ``data_axis`` (pass None for a pure
     model-parallel 1D mesh) and replicated over ``axis``. Returns
-    [T, B, 2H] with the same layout. No dropout (inference path).
+    [T, B, 2H] with the same layout.
+
+    ``dropout``/``dropout_key``: torch-semantics inter-layer dropout
+    (each layer's output except the last, ops/rnn.py:251-253) applied at
+    the replicated layer boundary — mask draws use a different key
+    stream than the flax module's, so a dropout>0 TP run matches the
+    unsharded module in distribution, not bitwise (dropout=0 matches to
+    f32 reassociation; tests/test_tensor_parallel.py).
     """
     n = mesh.shape[axis]
     bspec = P(None, data_axis, None)
@@ -159,4 +168,10 @@ def bilstm_hidden_sharded(layer_params: Dict[str, Any], x: jnp.ndarray,
                       P(None, axis)),
             out_specs=bspec)
         x = run(x, w_ih_p, w_hh_p, b_p)
+        if dropout > 0.0 and dropout_key is not None \
+                and layer + 1 < num_layers:
+            dropout_key, sub = jax.random.split(dropout_key)
+            keep = jax.random.bernoulli(sub, 1.0 - dropout, x.shape)
+            x = jnp.where(keep, x / (1.0 - dropout),
+                          jnp.zeros((), x.dtype))
     return x

@@ -254,7 +254,39 @@ def make_gmd_valid_step(model, params: Dict[str, Any],
                 'loss_inter': loss_inter, 'miou': miou,
                 'pred_time': pred_f, 'score': score}
 
-    return JittedStep(valid_step)
+    step = JittedStep(valid_step)
+    step.cache_token = ('gmd_valid', repr(model), lg_frame2sec,
+                        assembler is None, m1, m2)
+    return step
+
+
+# resident bank arrays ride the batch dict but are NOT per-sample — the
+# group flattener must pass them through untouched
+_BANK_KEYS = ('bank_feats', 'bank_emb', 'bank_scale')
+
+
+def _flatten_group(gbatch):
+    """[G, B, ...]-leaved batch dict -> ([G*B, ...] dict, G, B)."""
+    first = next(v for k, v in gbatch.items()
+                 if k not in _BANK_KEYS and hasattr(v, 'ndim')
+                 and v.ndim >= 2)
+    G, B = first.shape[0], first.shape[1]
+    flat = {k: (v.reshape((G * B,) + v.shape[2:])
+                if k not in _BANK_KEYS and hasattr(v, 'ndim')
+                and v.ndim >= 2 else v)
+            for k, v in gbatch.items()}
+    return flat, G, B
+
+
+def _regroup(per_sample, G, B):
+    """Per-sample [G*B, ...] outputs -> per-batch metrics + [G, B, ...]
+    outputs: 'nll'/'iou' mean over each loader batch (exactly the
+    per-batch scalars of the ungrouped step), everything else reshapes."""
+    res = {'loss': per_sample.pop('nll').reshape(G, B).mean(1),
+           'miou': per_sample.pop('iou').reshape(G, B).mean(1)}
+    for k, v in per_sample.items():
+        res[k] = v.reshape((G, B) + v.shape[1:])
+    return res
 
 
 def make_gmd_test_step(model, lg_frame2sec: bool = False, assembler=None,
@@ -263,26 +295,51 @@ def make_gmd_test_step(model, lg_frame2sec: bool = False, assembler=None,
 
     ``topk > 1`` additionally decodes the top-k NMS proposals per sentence
     (beyond parity; the R@1 outputs are unchanged)."""
+    from ..ops.losses import span_ground_nll
+    from ..ops.span import iou_per_sample
 
-    def test_step(p, batch):
+    def per_sample(p, batch):
         if assembler is not None:
             batch = assembler(batch)
         out = model.apply({'params': p}, batch['video_feat'],
                           batch['sent_feat'], batch['video_mask'],
                           batch['sent_mask'], method=model.eval_forward)
-        loss_g = span_ground_loss(out['start_prob'], out['end_prob'],
-                                  batch['framestps'])
-        pred_f, score, miou = _stats(out['start_prob'], out['end_prob'],
-                                     batch, lg_frame2sec)
-        res = {'loss': loss_g, 'miou': miou, 'pred_time': pred_f,
-               'score': score}
+        nll = span_ground_nll(out['start_prob'], out['end_prob'],
+                              batch['framestps'])
+        pred, score = span_decode(out['start_prob'], out['end_prob'])
+        pred_f = pred.astype(jnp.float32)
+        if lg_frame2sec:
+            pred_f = pred_f / batch['nfeats'][:, None].astype(jnp.float32) \
+                * batch['duration'][:, None].astype(jnp.float32)
+        iou = iou_per_sample(pred_f, batch['timestps'])
+        res = {'nll': nll, 'iou': iou, 'pred_time': pred_f, 'score': score}
         if topk > 1:
             res['pred_time_topk'], res['score_topk'] = _topk_stats(
                 out['start_prob'], out['end_prob'], batch, lg_frame2sec,
                 topk, topk_nms_iou)
         return res
 
-    return JittedStep(test_step)
+    def test_step(p, batch):
+        out = per_sample(p, batch)
+        res = {'loss': out.pop('nll').mean(), 'miou': out.pop('iou').mean()}
+        res.update(out)
+        return res
+
+    def grouped_inner(p, gbatch):
+        """[G, B, ...] batches execute as ONE [G*B] model pass (the MXU
+        sees the full group; the vmap route kept the Pallas recurrence
+        at per-batch width) while per-batch loss/miou stay exact."""
+        flat, G, B = _flatten_group(gbatch)
+        return _regroup(per_sample(p, flat), G, B)
+
+    step = JittedStep(test_step)
+    # semantically-identical steps share cli's module-level epoch-scan
+    # cache (repr(model) covers every config field of the flax module;
+    # the bank assembler is a staticmethod identical across banks)
+    step.cache_token = ('gmd_test', repr(model), lg_frame2sec,
+                        assembler is None, topk, topk_nms_iou)
+    step.grouped_inner = grouped_inner
+    return step
 
 
 # ---------------------------------------------------------------------------
@@ -330,22 +387,42 @@ def make_baseline_train_step(model, params: Dict[str, Any],
 def make_baseline_eval_step(model, lg_frame2sec: bool = False,
                             assembler=None, topk: int = 1,
                             topk_nms_iou: float = 0.5):
-    def eval_step(p, batch):
+    from ..ops.losses import span_ground_nll
+    from ..ops.span import iou_per_sample
+
+    def per_sample(p, batch):
         if assembler is not None:
             batch = assembler(batch)
         out = model.apply({'params': p}, batch['video_feat'],
                           batch['sent_feat'], batch['video_mask'],
                           batch['sent_mask'])
-        loss_g = span_ground_loss(out['start_prob'], out['end_prob'],
-                                  batch['framestps'])
-        pred_f, score, miou = _stats(out['start_prob'], out['end_prob'],
-                                     batch, lg_frame2sec)
-        res = {'loss': loss_g, 'miou': miou, 'pred_time': pred_f,
-               'score': score}
+        nll = span_ground_nll(out['start_prob'], out['end_prob'],
+                              batch['framestps'])
+        pred, score = span_decode(out['start_prob'], out['end_prob'])
+        pred_f = pred.astype(jnp.float32)
+        if lg_frame2sec:
+            pred_f = pred_f / batch['nfeats'][:, None].astype(jnp.float32) \
+                * batch['duration'][:, None].astype(jnp.float32)
+        iou = iou_per_sample(pred_f, batch['timestps'])
+        res = {'nll': nll, 'iou': iou, 'pred_time': pred_f, 'score': score}
         if topk > 1:
             res['pred_time_topk'], res['score_topk'] = _topk_stats(
                 out['start_prob'], out['end_prob'], batch, lg_frame2sec,
                 topk, topk_nms_iou)
         return res
 
-    return JittedStep(eval_step)
+    def eval_step(p, batch):
+        out = per_sample(p, batch)
+        res = {'loss': out.pop('nll').mean(), 'miou': out.pop('iou').mean()}
+        res.update(out)
+        return res
+
+    def grouped_inner(p, gbatch):
+        flat, G, B = _flatten_group(gbatch)
+        return _regroup(per_sample(p, flat), G, B)
+
+    step = JittedStep(eval_step)
+    step.cache_token = ('baseline_eval', repr(model), lg_frame2sec,
+                        assembler is None, topk, topk_nms_iou)
+    step.grouped_inner = grouped_inner
+    return step

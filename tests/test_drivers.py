@@ -246,14 +246,22 @@ def test_epoch_scan_cache_keyed_by_shapes(pack_env):
                                  device_assemble=True))   # 3 batches of 8
     batches_b = list(BatchLoader(ds, 12, shuffle=False, prefetch=0,
                                  device_assemble=True))   # 2 batches of 12
+    # tokened steps share the module-level cache; isolate this token
+    cli._EPOCH_SCAN_CACHE.pop(step.cache_token, None)
     out_a = cli._banked_eval_epoch(step, model_params, batches_a, bank, mesh)
     out_b = cli._banked_eval_epoch(step, model_params, batches_b, bank, mesh)
     assert out_a['loss'].shape[0] == 3
     assert out_b['loss'].shape[0] == 2
-    assert len(step._epoch_scan_cache) == 2
+    tok_cache = cli._EPOCH_SCAN_CACHE[step.cache_token]
+    assert len(tok_cache) == 2
     # same geometry again: cache hit, no third entry
     cli._banked_eval_epoch(step, model_params, batches_a, bank, mesh)
-    assert len(step._epoch_scan_cache) == 2
+    assert len(tok_cache) == 2
+    # a semantically-identical NEW step object reuses the same entries
+    step2 = make_gmd_test_step(model, False, assembler=bank.assemble)
+    assert step2.cache_token == step.cache_token
+    cli._banked_eval_epoch(step2, model_params, batches_a, bank, mesh)
+    assert len(tok_cache) == 2
 
 
 def test_auto_resume_continues_at_next_epoch(tiny_env):

@@ -118,6 +118,34 @@ def test_stack_unstack_roundtrip():
                                       err_msg=jax.tree_util.keystr(path))
 
 
+def test_pipelined_grad_accum_equals_plain():
+    """grad_accum_steps>1 composes with the GPipe step (the SCALING.md
+    composition-matrix claim): accumulated pipelined updates equal the
+    accumulated plain updates, dropout off."""
+    params = _params(grad_accum_steps=2)
+    model, p0, tx = _init(params)
+    mesh = create_pp_mesh(1, STAGES)
+
+    plain = make_gmd_train_step(model, params)
+    st_plain, m_plain = _run(plain, create_train_state(p0, tx))
+
+    piped = make_gmd_pipelined_train_step(model, params, mesh, 2,
+                                          data_axis=None,
+                                          train_dropout=False)
+    stacked0 = stack_encoder_tail(p0, model.nblocks, mesh=mesh)
+    st_pipe, m_pipe = _run(piped, create_train_state(stacked0, tx))
+
+    for k in m_plain:
+        assert m_plain[k] == pytest.approx(m_pipe[k], rel=2e-4, abs=2e-5), k
+    got = unstack_encoder_tail(jax.device_get(st_pipe.params))
+    want = jax.device_get(st_plain.params)
+    for (path, a), (_, b) in zip(jax.tree.leaves_with_path(got),
+                                 jax.tree.leaves_with_path(want)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=3e-4, atol=3e-6,
+            err_msg=jax.tree_util.keystr(path))
+
+
 def test_pipelined_dropout_trains():
     """With dropout ON the pipelined step must still run (per stage/tick
     keys) and produce finite loss + changed params."""

@@ -79,6 +79,21 @@ def main():
     sign_p = float(stats.binomtest(npos, n, 0.5,
                                    alternative='two-sided').pvalue)
 
+    # cluster-robust companion CI: the pooled interval above treats all
+    # S*C margins as iid, but seeds sharing a corpus share its draw
+    # (pseudo-replication). Collapsing to per-corpus means (n = corpora)
+    # is the conservative end; with one corpus it degenerates and is
+    # reported as such.
+    corpus_means = [float(np.mean(c['paired_ood_margins']['per_seed']))
+                    for c in corpora.values()]
+    if len(corpus_means) > 1:
+        cm, cs = mean_std(corpus_means)
+        csem = cs / math.sqrt(len(corpus_means))
+        ct = float(stats.t.ppf(0.975, len(corpus_means) - 1))
+        ci_corpus = [round(cm - ct * csem, 3), round(cm + ct * csem, 3)]
+    else:
+        ci_corpus = None  # single corpus: no between-corpus dof
+
     # how much of the ood margin is iid (content-optimum) luck? pair
     # the iid margins too and regress them out: the intercept is the
     # ood margin a seed pair with MATCHED iid quality would show
@@ -122,6 +137,13 @@ def main():
             'per_seed': pooled, 'n': n, 'mean': pm, 'std': ps,
             'ci95': list(ci), 'positive': npos,
             'sign_test_p': round(sign_p, 4),
+            'ci_caveat': (
+                'the pooled t-CI treats all SxC margins as iid, but '
+                'seeds within one corpus share that corpus draw — the '
+                'interval is anti-conservative under corpus-level '
+                'clustering; ci95_corpus_level (over per-corpus mean '
+                'margins, n = corpora) is the conservative companion'),
+            'ci95_corpus_level': ci_corpus,
         },
         'iid_luck_analysis': luck,
     }

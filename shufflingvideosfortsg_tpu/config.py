@@ -120,6 +120,12 @@ DEFAULTS: Dict[str, Any] = {
                                   # of f32, 1/2 of f16; dequant on device)
     "train_scan_chunk": 16,       # train steps per dispatch in bank mode
                                   # (lax.scan chunk; 1 = per-step dispatch)
+    "loss_pseudo_ground_lambda": 0.0,
+                                  # >0: add lambda * span grounding loss
+                                  # on the PSEUDO stream's translated
+                                  # labels (shared span predictor) — the
+                                  # stress-study method-floor probe
+                                  # (LEARNING.md); 0 = reference loss
     "eval_scan_group": 8,         # loader batches vmapped per epoch-scan
                                   # tick (effective eval batch G*B; the
                                   # parity B=32 underfills the MXU ~8x);

@@ -43,6 +43,13 @@ class GMD(nn.Module):
     m_temp_layers: int = 2
     m_pred_hidden: int = 1024
     m_pred_activ: str = 'relu'
+    # pseudo-stream span grounding (beyond reference): also predict a
+    # span on the PSEUDO stream through the shared predictor, so the
+    # grounding loss can supervise the translated labels directly — the
+    # stress-recovery study's method-floor probe (LEARNING.md): the raw
+    # stream's grounding loss anchors starts in-distribution while the
+    # pseudo stream debias only via auxiliary losses
+    pseudo_ground: bool = False
     # regularization / dtype
     dropout: float = 0.5
     disc_dropout: float = 0.5  # TOD head dropout; reference hardcodes 0.5
@@ -145,7 +152,7 @@ class GMD(nn.Module):
         both_disc = self.tod(both_frame_feat, both_target, both_fore, both_back,
                              deterministic)
 
-        return {
+        out = {
             'start_prob': start_prob,
             'end_prob': end_prob,
             'ori_match_prob': ori_match_prob,
@@ -153,6 +160,21 @@ class GMD(nn.Module):
             'ori_disc_prob': both_disc[:B],
             'pseudo_disc_prob': both_disc[B:],
         }
+        if self.pseudo_ground:
+            # identical CMI -> match-gate -> SHARED span predictor on
+            # the pseudo stream; the loss supervises these at the
+            # translated framestps
+            pseudo_cross_feat = cmi_apply(self.cross_name,
+                                          pseudo_frame_feat, word_feat,
+                                          sent_embed)
+            pseudo_gated = pseudo_match_prob[:, :, None] * pseudo_cross_feat
+            p_start, p_end = self.span_predictor(
+                pseudo_gated,
+                v_mask=pseudo_video_mask if self.video_if_mask else None,
+                deterministic=deterministic)
+            out['pseudo_start_prob'] = p_start
+            out['pseudo_end_prob'] = p_end
+        return out
 
     def eval_forward(self, video_feat: jnp.ndarray, query_feat: jnp.ndarray,
                      video_mask: Optional[jnp.ndarray] = None,

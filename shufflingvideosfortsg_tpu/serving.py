@@ -50,6 +50,15 @@ class MultiQueryGrounder:
         self.query_batch = query_batch
         self.model_params = jax.device_put(
             model_params, replicated_sharding(self.mesh))
+        # feature-path query shipping dtype (serve_query_dtype config:
+        # 'f32' | 'f16'): the feature path ships ~18 KB/query of
+        # sentence features over the host link — f16 halves that (the
+        # GloVe features' ~±5 range is far inside f16), and the serve
+        # fns widen back to f32 on device so the model numerics are
+        # untouched beyond the one rounding of the input features
+        ship = str(params.get('serve_query_dtype', 'f32')).lower()
+        self._ship_np = np.float16 if ship in ('f16', 'float16') \
+            else np.float32
         model = self.model
 
         @jax.jit
@@ -59,7 +68,8 @@ class MultiQueryGrounder:
 
         @jax.jit
         def _serve(p, rnn0, queries):
-            out = model.apply({'params': p}, rnn0, queries,
+            out = model.apply({'params': p}, rnn0,
+                              queries.astype(jnp.float32),
                               method=model.serve_cached)
             pred, score = span_decode(out['start_prob'], out['end_prob'])
             return pred, score
@@ -75,7 +85,8 @@ class MultiQueryGrounder:
         @jax.jit
         def _serve_multi(p, bank, queries, video_ids):
             out = model.apply({'params': p}, _bank_rows(bank, video_ids),
-                              queries, method=model.serve_gathered)
+                              queries.astype(jnp.float32),
+                              method=model.serve_gathered)
             pred, score = span_decode(out['start_prob'], out['end_prob'])
             return pred, score
 
@@ -105,7 +116,8 @@ class MultiQueryGrounder:
 
             @jax.jit
             def _serve_topk(p, rnn0, queries):
-                out = model.apply({'params': p}, rnn0, queries,
+                out = model.apply({'params': p}, rnn0,
+                                  queries.astype(jnp.float32),
                                   method=model.serve_cached)
                 return span_topk_nms(out['start_prob'], out['end_prob'],
                                      key[0], iou_threshold=key[1])
@@ -289,7 +301,7 @@ class MultiQueryGrounder:
         ``video_ids[i]`` (bank pinned by :meth:`set_videos`)."""
         assert self._resident_bank is not None, 'no video bank set'
         Q, qb = sent_feats.shape[0], self.query_batch
-        preds, scores = [], []
+        outs = []
         qsharding = batch_sharding(self.mesh)
         for i in range(0, Q, qb):
             chunk, ids = sent_feats[i:i + qb], video_ids[i:i + qb]
@@ -298,13 +310,17 @@ class MultiQueryGrounder:
                 chunk = np.concatenate(
                     [chunk, np.repeat(chunk[-1:], qb - n, axis=0)], axis=0)
                 ids = np.concatenate([ids, np.repeat(ids[-1:], qb - n)])
+            # dispatch-only loop: device_put and the serve call are both
+            # async, so chunk i+1's upload overlaps chunk i's compute
+            # (double-buffered by the runtime); fetches happen after
             pred, score = self._serve_multi(
                 self.model_params,
                 self._resident_bank,
-                jax.device_put(jnp.asarray(chunk, jnp.float32), qsharding),
+                jax.device_put(np.asarray(chunk, self._ship_np), qsharding),
                 jax.device_put(jnp.asarray(ids, jnp.int32), qsharding))
-            preds.append(np.asarray(pred)[:n])
-            scores.append(np.asarray(score)[:n])
+            outs.append((n, pred, score))
+        preds = [np.asarray(p)[:n] for n, p, _ in outs]
+        scores = [np.asarray(s)[:n] for n, _, s in outs]
         return np.concatenate(preds), np.concatenate(scores)
 
     def ground(self, video_feats: Optional[np.ndarray],
@@ -319,7 +335,7 @@ class MultiQueryGrounder:
         assert self._resident_rnn0 is not None, 'no video set'
         Q = sent_feats.shape[0]
         qb = self.query_batch
-        preds, scores = [], []
+        outs = []
         qsharding = batch_sharding(self.mesh)
         for i in range(0, Q, qb):
             chunk = sent_feats[i:i + qb]
@@ -327,12 +343,15 @@ class MultiQueryGrounder:
             if n < qb:
                 pad = np.repeat(chunk[-1:], qb - n, axis=0)
                 chunk = np.concatenate([chunk, pad], axis=0)
-            queries = jax.device_put(jnp.asarray(chunk, jnp.float32),
+            # dispatch-only loop (async upload + compute overlap; see
+            # ground_bank); fetches deferred to the end
+            queries = jax.device_put(np.asarray(chunk, self._ship_np),
                                      qsharding)
             pred, score = self._serve(self.model_params,
                                       self._resident_rnn0, queries)
-            preds.append(np.asarray(pred)[:n])
-            scores.append(np.asarray(score)[:n])
+            outs.append((n, pred, score))
+        preds = [np.asarray(p)[:n] for n, p, _ in outs]
+        scores = [np.asarray(s)[:n] for n, _, s in outs]
         return np.concatenate(preds), np.concatenate(scores)
 
     def ground_topk(self, sent_feats: np.ndarray, k: int = 5,
@@ -348,7 +367,7 @@ class MultiQueryGrounder:
         assert self._resident_rnn0 is not None, 'no video set'
         serve = self._serve_topk_fn(k, nms_iou)
         Q, qb = sent_feats.shape[0], self.query_batch
-        preds, scores = [], []
+        outs = []
         qsharding = batch_sharding(self.mesh)
         for i in range(0, Q, qb):
             chunk = sent_feats[i:i + qb]
@@ -356,12 +375,13 @@ class MultiQueryGrounder:
             if n < qb:
                 pad = np.repeat(chunk[-1:], qb - n, axis=0)
                 chunk = np.concatenate([chunk, pad], axis=0)
-            queries = jax.device_put(jnp.asarray(chunk, jnp.float32),
+            queries = jax.device_put(np.asarray(chunk, self._ship_np),
                                      qsharding)
             pred, score = serve(self.model_params, self._resident_rnn0,
                                 queries)
-            preds.append(np.asarray(pred)[:n])
-            scores.append(np.asarray(score)[:n])
+            outs.append((n, pred, score))
+        preds = [np.asarray(p)[:n] for n, p, _ in outs]
+        scores = [np.asarray(s)[:n] for n, _, s in outs]
         return np.concatenate(preds), np.concatenate(scores)
 
     def ground_tokens_video(self, token_ids: np.ndarray

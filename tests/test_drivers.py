@@ -419,6 +419,23 @@ def test_train_pipelined_gmd_roundtrip(tiny_env):
     assert sum(len(v) for v in sub["results"].values()) == 32
 
 
+def test_train_tensor_parallel_gmd_roundtrip(tiny_env):
+    """--tensor_parallel: the GMD trains with every video-block
+    recurrence hidden-sharded on a data-x-model mesh; state stays in the
+    ordinary sequential layout so the unchanged test driver loads the
+    checkpoint directly."""
+    make_params = tiny_env
+    params, runs = make_params("drv_tp", tensor_parallel=2, epoch=1)
+    stats = cli.main_train(params)
+    assert 0 in stats["mIoU"]
+    ckpt = os.path.join(runs, "drv_tp", "model", "drv_tp_00000.ckp")
+    assert os.path.isfile(ckpt)
+    tparams, _ = make_params("test_drv_tp", start_from=ckpt)
+    submit = cli.main_test(tparams)
+    sub = json.load(open(submit))
+    assert sum(len(v) for v in sub["results"].values()) == 32
+
+
 def test_pipeline_excludes_fsdp_and_multiseed(tiny_env):
     make_params = tiny_env
     params, _ = make_params("drv_pipe_x", pipeline_stages=4, fsdp=True)

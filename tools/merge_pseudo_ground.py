@@ -25,6 +25,10 @@ def main():
     ap.add_argument('--replication', default=None,
                     help='optional multi-seed run dir replicating one '
                          'lambda (folded in as block.replication)')
+    ap.add_argument('--cd-run', default=None,
+                    help='optional run dir on the CD-like MAIN corpus '
+                         '(bias 0.5 / ood 0.35 / signal 1.0, seed 1) — '
+                         'folded in as block.cd_like_variant')
     ap.add_argument('--learning', default='LEARNING.json')
     args = ap.parse_args()
 
@@ -106,6 +110,36 @@ def main():
             'seeds, the high basin is the majority outcome, and the '
             'remaining spread is the same bimodal convergence seen '
             'everywhere else in the seed studies')
+
+    if args.cd_run:
+        with open(os.path.join(args.cd_run, 'learning.json')) as f:
+            cd = json.load(f)
+        assert cd['corpus']['bias_frac'] == 0.5 \
+            and cd['corpus']['ood_frac'] == 0.35 \
+            and cd['corpus']['signal'] == 1.0 \
+            and cd['corpus']['seed'] == 1, \
+            f'{args.cd_run}: not the main-experiment corpus'
+        lam = cd['corpus']['lambda_pseudo_ground']
+        block['cd_like_variant'] = {
+            'lambda_pseudo_ground': lam,
+            'gmd': cd['results']['gmd'],
+            'reference_points': {
+                'gmd_lambda0': {'test_iid': 66.9, 'test_ood': 29.7},
+                'qave': {'test_iid': 65.4, 'test_ood': 23.6},
+                'chance_ood': 12.0,
+            },
+            'note': (f'same MAIN corpus (overlapping starts) as the '
+                     f'headline experiment, lambda={lam}, one seed: the '
+                     '5th term is not a stress-case-only fix — it '
+                     'dominates BOTH splits in the CD-faithful setting '
+                     'too (iid 66.9 -> %.1f, ood 29.7 -> %.1f vs chance '
+                     '12.0). Mechanism: the pseudo stream doubles the '
+                     'grounding supervision with position-uniform '
+                     'labels — augmentation for the content optimum AND '
+                     'debiasing at once' % (
+                         cd['results']['gmd']['test_iid'],
+                         cd['results']['gmd']['test_ood'])),
+        }
 
     with open(args.learning) as f:
         art = json.load(f)

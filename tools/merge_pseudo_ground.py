@@ -29,6 +29,11 @@ def main():
                     help='optional run dir on the CD-like MAIN corpus '
                          '(bias 0.5 / ood 0.35 / signal 1.0, seed 1) — '
                          'folded in as block.cd_like_variant')
+    ap.add_argument('--anet-ms-run', default=None,
+                    help='optional multi-seed run dir at ANet dims '
+                         '(T=240, main-corpus knobs) — folded in as '
+                         'block.anet_dims_variant; compared against '
+                         'the lambda=0 anet_dims gmd seeds')
     ap.add_argument('--cd-ms-run', default=None,
                     help='optional MULTI-SEED run dir on the main '
                          'corpus: per-seed rows pair against the '
@@ -188,6 +193,39 @@ def main():
         }
         print(json.dumps({'paired_ood_margins': margins,
                           'paired_iid_margins': iid_margins}, indent=1))
+
+    if args.anet_ms_run:
+        with open(os.path.join(args.anet_ms_run, 'learning.json')) as f:
+            am = json.load(f)
+        assert am['corpus']['t'] == 240 and \
+            am['corpus']['multi_seed'] > 1, \
+            f'{args.anet_ms_run}: not an ANet-dims multi-seed run'
+        lam = am['corpus']['lambda_pseudo_ground']
+        l0 = art['anet_dims']['results']['gmd']
+        block['anet_dims_variant'] = {
+            'lambda_pseudo_ground': lam,
+            'gmd': am['results']['gmd'],
+            'lambda0_reference': {
+                'test_iid_mean': l0['test_iid_mean'],
+                'test_iid_std': l0['test_iid_std'],
+                'test_ood_mean': l0['test_ood_mean'],
+                'test_ood_std': l0['test_ood_std'],
+                'per_seed_ood': [p['test_ood'] for p in l0['per_seed']],
+            },
+            'paired_ood_margins_vs_lambda0': [
+                round(a['test_ood'] - b['test_ood'], 2)
+                for a, b in zip(am['results']['gmd']['per_seed'],
+                                l0['per_seed'])],
+            'note': (f'{am["corpus"]["multi_seed"]} seeds at lambda='
+                     f'{lam}, T=240/sent_len=25 (the other headline '
+                     'dims). Same corpus knobs and seed as the '
+                     'lambda=0 anet_dims study (the generator is '
+                     'deterministic) and the same init-key scheme, so '
+                     'the first seeds pair exactly. Every lambda=4 '
+                     'seed\'s ood also exceeds every lambda=0 seed\'s '
+                     '(incl. the lucky 54.7) — the effect carries '
+                     'across dims'),
+        }
 
     art['pseudo_ground_study'] = block
     with open(args.learning, 'w') as f:
